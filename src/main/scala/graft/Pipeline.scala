@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.dict.{AhoCorasick, EnvoDict}
+import graft.stages._
+
+/** End-to-end KG-construction pipeline configuration. */
+final case class PipelineConfig(
+    score: ScoreConfig = ScoreConfig(),
+    checkpointDir: Option[String] = None,
+    evidenceCap: Int = 20)
+
+/** All pipeline outputs (lazy DataFrames — nothing executes until a sink
+  * action, exactly like the reference's pulled property-DAG,
+  * seqenv/analysis.py:148-159 via seqenv/common/cache.py). */
+final case class KgResult(
+    turnMentions: DataFrame,   // (conv_id, turn_idx, tool, text_hash, mentions)
+    mentionRows: DataFrame,    // flattened per-mention rows
+    scores: DataFrame,         // (conv_id, envo, score)
+    annotated: DataFrame,      // annotated_with triples + evidence
+    mentionTriples: DataFrame, // mentions triples
+    coOccurrence: DataFrame,   // (envo_a, envo_b, n_convs)
+    ontologyTriples: DataFrame)
+
+/**
+ * The transcript→EnvO KG builder. One dictionary + automaton per pipeline
+ * instance, broadcast once per SparkSession.
+ *
+ * Dataflow: turns → MentionDetect (distinct-text tagger) → LinkScore
+ * (flat/ui/upui × proportional × backtracking × restrict) → Canonicalize →
+ * TripleEmit (+ co-occurrence edges), each stage optionally checkpointed
+ * with a lineage manifest for resume.
+ */
+final class KgPipeline(spark: SparkSession, cfg: PipelineConfig = PipelineConfig()) {
+
+  val dict: EnvoDict = KgPipeline.sharedDict
+  private val acBroadcast: Broadcast[AhoCorasick] =
+    spark.sparkContext.broadcast(KgPipeline.sharedAutomaton)
+
+  def run(turns: DataFrame): KgResult = {
+    val ckpt = cfg.checkpointDir
+
+    val turnMentions = Checkpoint.stage(spark, ckpt, "mentions") {
+      MentionDetect.detect(spark, turns, acBroadcast)
+    }
+    val mentionRows = MentionDetect.explodeMentions(turnMentions)
+    val turnEnvos = MentionDetect.turnEnvos(turnMentions)
+
+    val scores = Checkpoint.stage(spark, ckpt, "scores") {
+      LinkScore.score(spark, turnEnvos, dict, cfg.score)
+    }
+
+    val annotated = Checkpoint.stage(spark, ckpt, "annotated") {
+      TripleEmit.annotatedWith(spark, scores, mentionRows, dict, cfg.evidenceCap)
+    }
+    val mentionTriples = TripleEmit.mentionTriples(spark, mentionRows, dict)
+    val cooc = Checkpoint.stage(spark, ckpt, "cooccurrence") {
+      TripleEmit.coOccurrence(scores)
+    }
+
+    KgResult(
+      turnMentions = turnMentions,
+      mentionRows = mentionRows,
+      scores = scores,
+      annotated = annotated,
+      mentionTriples = mentionTriples,
+      coOccurrence = cooc,
+      ontologyTriples = TripleEmit.ontologyTriples(spark, dict))
+  }
+}
+
+object KgPipeline {
+  // Dictionary + automaton are immutable; build them once per JVM.
+  lazy val sharedDict: EnvoDict = EnvoDict.load()
+  lazy val sharedAutomaton: AhoCorasick = AhoCorasick.build(sharedDict)
+}

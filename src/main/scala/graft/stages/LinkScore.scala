@@ -1,0 +1,116 @@
+package graft.stages
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.dict.EnvoDict
+
+/** Scoring configuration — mirrors the reference's flags and defaults
+  * (seqenv/analysis.py:88-146: normalization ∈ {flat,ui,upui},
+  * proportional=true, backtracking=false, restrict=None). */
+final case class ScoreConfig(
+    normalization: String = "flat",
+    proportional: Boolean = true,
+    backtracking: Boolean = false,
+    restrict: Option[Int] = None) {
+  require(Set("flat", "ui", "upui").contains(normalization),
+    s"normalization must be flat|ui|upui, got $normalization")
+}
+
+/**
+ * Stage 2 — entity-link scoring: the reference's `seq_to_counts` engine
+ * (seqenv/analysis.py:338-408) recast as Catalyst groupBy-aggs per conv_id.
+ *
+ * Correspondence: conv_id ≈ seq, turn ≈ GI hit, text_hash ≈ isolation key,
+ * tool ≈ pubmed id. Normalizations:
+ *  - flat: every turn's envo occurrences counted (duplicates kept);
+ *  - ui:   duplicate texts within a conversation counted once
+ *          (set-of-isokeys, analysis.py:363-369);
+ *  - upui: dedupe by text keeping the FIRST turn, then among survivors
+ *          dedupe by tool keeping the first, null-tool rows all kept
+ *          (analysis.py:382-403). The reference's "first" is dict insertion
+ *          order; we pin the deterministic analog: order by turn_idx.
+ *
+ * Scale notes (10^12 turns): everything below is partial+final hash
+ * aggregation or window-over-(conv_id,…) — no driver-side state, no
+ * collect. The occurrence count per (conv_id, envo) is aggregated BEFORE
+ * the per-conv total is computed, so a mega-conversation collapses to at
+ * most ~1.6k rows (|EnvO|) ahead of the per-conv join — map-side combine
+ * absorbs the skew that a naive window-count over raw occurrences would
+ * concentrate on one partition.
+ */
+object LinkScore {
+
+  /** input: turnEnvos(conv_id, turn_idx, tool, text_hash, envos:array<int>)
+    * output: (conv_id, envo:int, score:double) */
+  def score(spark: SparkSession, turnEnvos: DataFrame, dict: EnvoDict,
+            cfg: ScoreConfig): DataFrame = {
+
+    // --- normalization: choose the surviving turn rows ---
+    val survivors = cfg.normalization match {
+      case "flat" => turnEnvos
+      case "ui" =>
+        // set(isokeys): one representative per distinct text per conv; the
+        // envo array is a function of the text, so any representative works.
+        turnEnvos.dropDuplicates("conv_id", "text_hash")
+      case "upui" =>
+        val byText = Window.partitionBy("conv_id", "text_hash").orderBy("turn_idx")
+        val firstPerText = turnEnvos
+          .withColumn("rn_text", row_number().over(byText))
+          .filter(col("rn_text") === 1)
+        val byTool = Window.partitionBy("conv_id", "tool").orderBy("turn_idx")
+        firstPerText
+          .withColumn("rn_tool", row_number().over(byTool))
+          .filter(col("tool").isNull || col("rn_tool") === 1)
+          .drop("rn_text", "rn_tool")
+    }
+
+    // --- explode to envo occurrences (duplicates within a tuple kept) ---
+    val occurrences = survivors
+      .select(col("conv_id"), explode(col("envos")).as("envo"))
+
+    // --- backtracking: each occurrence also contributes one occurrence of
+    //     every ancestor (documented intent of analysis.py:371-372; the
+    //     closure table replaces the reference's child_to_parents) ---
+    val withAncestors =
+      if (!cfg.backtracking) occurrences
+      else {
+        val closureDf = closureFrame(spark, dict)
+        occurrences.unionByName(
+          occurrences
+            .join(broadcast(closureDf), col("envo") === col("child"))
+            .select(col("conv_id"), col("ancestor").as("envo")))
+      }
+
+    // --- restrict: keep strict descendants of the restrict term
+    //     (analysis.py:373-374; the restrict node itself is dropped) ---
+    val restricted = cfg.restrict match {
+      case None => withAncestors
+      case Some(root) =>
+        import spark.implicits._
+        val allowed = dict.descendantsOf(root).toSeq.sorted.toDF("envo")
+        withAncestors.join(broadcast(allowed), Seq("envo"), "left_semi")
+    }
+
+    // --- proportional scoring: score = 1/|all_envos per conv| else 1.0,
+    //     summed per (conv, envo) (analysis.py:376-380) ---
+    val counts = restricted.groupBy("conv_id", "envo").agg(count(lit(1)).as("occ"))
+    if (cfg.proportional) {
+      val totals = counts.groupBy("conv_id").agg(sum("occ").as("total"))
+      counts.join(totals, "conv_id")
+        .select(col("conv_id"), col("envo"),
+          (col("occ").cast("double") / col("total")).as("score"))
+    } else {
+      counts.select(col("conv_id"), col("envo"), col("occ").cast("double").as("score"))
+    }
+  }
+
+  /** The ancestor-closure dim as a tiny broadcastable DataFrame
+    * (child:int, ancestor:int) — 9536 rows from envo_groups.tsv. */
+  def closureFrame(spark: SparkSession, dict: EnvoDict): DataFrame = {
+    import spark.implicits._
+    dict.closure.toSeq
+      .flatMap { case (c, as) => as.map(a => (c, a)) }
+      .toDF("child", "ancestor")
+  }
+}

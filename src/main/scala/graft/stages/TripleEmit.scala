@@ -1,0 +1,101 @@
+package graft.stages
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dict.EnvoDict
+
+/**
+ * Stage 4 — KG materialization: (subj, pred, obj) triples + concept
+ * co-occurrence edges.
+ *
+ * Triple families (north rule: pred ∈ annotated_with / mentions /
+ * derives_from):
+ *  - annotated_with: conv_id -> concept, weighted by the link score — the
+ *    analog of the reference's seq×concept matrix rows
+ *    (seqenv/outputs.py:53-65) and flat concept list (outputs.py:126-149);
+ *  - mentions: conv_id:turn_idx -> concept, one per detected mention-concept
+ *    pair (per-turn provenance the reference keeps as GI lists);
+ *  - ontology edges (derives_from / is_a / part_of …): static concept->
+ *    concept edges from the OBO DAG (seqenv/ontology.py:88-97), emitted once.
+ *
+ * Evidence per (conv, concept): number of supporting turns + a CAPPED sample
+ * of turn indexes — the reference collects the full GI list per concept
+ * (outputs.py:133-148); at 10^12 turns an uncapped collect_set on a
+ * mega-conversation is an OOM, so we keep the count exact and the list
+ * bounded (sorted, first `evidenceCap`).
+ */
+object TripleEmit {
+
+  val PredAnnotated = "annotated_with"
+  val PredMentions = "mentions"
+
+  /** scores(conv_id, envo, score) × concept dim -> annotated_with triples
+    * with exact supporting-turn counts from the mention table. */
+  def annotatedWith(spark: SparkSession, scores: DataFrame, mentionRows: DataFrame,
+                    dict: EnvoDict, evidenceCap: Int = 20): DataFrame = {
+    // support: per (conv, envo) — distinct supporting turns (A10 analog)
+    val support = mentionRows
+      .select(col("conv_id"), explode(col("envos")).as("envo"), col("turn_idx"))
+      .groupBy("conv_id", "envo")
+      .agg(
+        countDistinct("turn_idx").as("n_turns"),
+        slice(sort_array(collect_set("turn_idx")), 1, evidenceCap).as("turn_sample"))
+    Canonicalize.canonicalize(spark, scores.join(support, Seq("conv_id", "envo"), "left"), dict)
+      .select(
+        col("conv_id").as("subj"),
+        lit(PredAnnotated).as("pred"),
+        col("curie").as("obj"),
+        col("score").as("weight"),
+        coalesce(col("n_turns"), lit(0L)).as("evidence"),
+        col("name"),
+        col("turn_sample"))
+  }
+
+  /** mention rows -> one `mentions` triple per (turn, concept). */
+  def mentionTriples(spark: SparkSession, mentionRows: DataFrame, dict: EnvoDict): DataFrame =
+    Canonicalize.canonicalize(
+      spark,
+      mentionRows.select(
+        col("conv_id"), col("turn_idx"),
+        explode(col("envos")).as("envo"),
+        col("start"), col("end"), col("form")),
+      dict)
+      .select(
+        concat_ws(":", col("conv_id"), col("turn_idx")).as("subj"),
+        lit(PredMentions).as("pred"),
+        col("curie").as("obj"),
+        lit(1.0).as("weight"),
+        lit(1L).as("evidence"),
+        col("name"),
+        col("form"), col("start"), col("end"))
+
+  /** Static ontology edge triples from the closure's direct-parent view is
+    * lossy; instead emit the full ancestor closure as derives_from edges
+    * (child concept derives_from ancestor concept). */
+  def ontologyTriples(spark: SparkSession, dict: EnvoDict): DataFrame = {
+    import spark.implicits._
+    dict.closure.toSeq.sortBy(_._1)
+      .flatMap { case (c, ancs) =>
+        val cc = dict.intToCurie.get(c)
+        ancs.flatMap(a => dict.intToCurie.get(a).flatMap(ac => cc.map(x => (x, ac))))
+      }
+      .toDF("subj", "obj")
+      .select(col("subj"), lit("derives_from").as("pred"), col("obj"),
+        lit(1.0).as("weight"), lit(1L).as("evidence"))
+  }
+
+  /** Concept co-occurrence edges: for each conversation, every unordered
+    * pair of DISTINCT concepts it is annotated with; edge weight = number of
+    * conversations sharing the pair. Distinct-first keeps the self-join
+    * bounded by |EnvO| per conversation (≤1640), independent of turn count —
+    * the skew guard for mega-conversations. */
+  def coOccurrence(scores: DataFrame): DataFrame = {
+    val d = scores.select("conv_id", "envo").distinct()
+    val a = d.toDF("conv_id", "envo_a")
+    val b = d.toDF("conv_id", "envo_b")
+    a.join(b, Seq("conv_id"))
+      .filter(col("envo_a") < col("envo_b"))
+      .groupBy("envo_a", "envo_b")
+      .agg(count(lit(1)).as("n_convs"))
+  }
+}

@@ -1,0 +1,43 @@
+package graft.tools
+
+import graft.{KgPipeline, PipelineConfig, Sessions}
+import graft.stages.ScoreConfig
+import graft.synth.TranscriptGen
+
+/**
+ * CLI entry: run the transcript→EnvO KG pipeline end-to-end on the
+ * deterministic synthetic transcript table and materialize the KG.
+ *
+ * Usage: RunKg <nConvs> <outDir> [normalization=flat|ui|upui]
+ *              [proportional=true] [backtracking=false] [cores=8]
+ */
+object RunKg {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: RunKg <nConvs> <outDir> [norm] [proportional] [backtracking] [cores]")
+    val nConvs = args(0).toLong
+    val outDir = args(1)
+    val norm = if (args.length > 2) args(2) else "flat"
+    val proportional = if (args.length > 3) args(3).toBoolean else true
+    val backtracking = if (args.length > 4) args(4).toBoolean else false
+    val cores = if (args.length > 5) args(5).toInt else 8
+
+    val spark = Sessions.local(cores, shufflePartitions = 32, appName = "graft-runkg")
+    val turns = TranscriptGen.generate(spark, nConvs)
+    val result = new KgPipeline(spark,
+      PipelineConfig(score = ScoreConfig(norm, proportional, backtracking))).run(turns.toDF)
+
+    result.annotated.write.mode("overwrite").parquet(s"$outDir/annotated_with")
+    result.mentionTriples.write.mode("overwrite").parquet(s"$outDir/mentions")
+    result.coOccurrence.write.mode("overwrite").parquet(s"$outDir/cooccurrence")
+    result.ontologyTriples.write.mode("overwrite").parquet(s"$outDir/ontology")
+
+    val nAnnotated = spark.read.parquet(s"$outDir/annotated_with").count()
+    val nMentions = spark.read.parquet(s"$outDir/mentions").count()
+    val nCooc = spark.read.parquet(s"$outDir/cooccurrence").count()
+    println(s"turns=${turns.count()} annotated_with=$nAnnotated mentions=$nMentions cooccurrence=$nCooc")
+    println("sample annotated_with triples:")
+    spark.read.parquet(s"$outDir/annotated_with")
+      .orderBy("subj", "obj").show(10, truncate = false)
+    spark.stop()
+  }
+}

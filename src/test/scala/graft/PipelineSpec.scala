@@ -1,0 +1,125 @@
+package graft
+
+import scala.collection.mutable
+import graft.dict.EnvoDict
+import graft.model.Turn
+import graft.synth.TranscriptGen
+
+/** Independent naive O(n·m) oracle for the tagger + flat scorer, living only
+  * in the test tree (FIXTURES.md §3): substring scan over every dictionary
+  * form, boundary + stoplist + longest-leftmost rules re-derived from the
+  * reference artifacts without sharing code with the engine under test. */
+object NaiveOracle {
+  lazy val dict: EnvoDict = EnvoDict.load()
+  private lazy val forms: Seq[(String, Array[Int])] =
+    dict.formToSerials.toSeq.map { case (f, ss) =>
+      f -> ss.flatMap(dict.serialToEnvoInt.get).distinct.sorted
+    }
+
+  private def isWord(c: Char) = Character.isLetterOrDigit(c)
+
+  /** envo ids (duplicates kept, span order) mentioned in a text. */
+  def tag(text: String): Seq[Int] = {
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
+    val cands = mutable.ArrayBuffer.empty[(Int, Int, Array[Int])]
+    for ((form, envos) <- forms) {
+      var from = 0
+      var i = lower.indexOf(form, from)
+      while (i >= 0) {
+        val end = i + form.length
+        val boundaryOk = (i == 0 || !isWord(lower.charAt(i - 1))) &&
+          (end == lower.length || !isWord(lower.charAt(end)))
+        if (boundaryOk && !dict.stoplist.contains(text.substring(i, end)))
+          cands += ((i, end, envos))
+        from = i + 1
+        i = lower.indexOf(form, from)
+      }
+    }
+    val chosen = mutable.ArrayBuffer.empty[(Int, Int, Array[Int])]
+    var lastEnd = 0
+    for (c <- cands.sortBy(t => (t._1, -t._2)))
+      if (c._1 >= lastEnd) { chosen += c; lastEnd = c._2 }
+    chosen.flatMap(_._3).toSeq
+  }
+
+  /** Expected annotated_with triple set for flat/proportional scoring. */
+  def flatTriples(turns: Seq[Turn], proportional: Boolean): Map[(String, String), Double] = {
+    val out = mutable.HashMap.empty[(String, String), Double]
+    turns.groupBy(_.conv_id).foreach { case (conv, ts) =>
+      val envos = ts.sortBy(_.turn_idx).flatMap(t => tag(t.text))
+      if (envos.nonEmpty) {
+        val score = if (proportional) 1.0 / envos.length else 1.0
+        envos.foreach { e =>
+          val key = (conv, dict.intToCurie(e))
+          out(key) = out.getOrElse(key, 0.0) + score
+        }
+      }
+    }
+    out.toMap
+  }
+}
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("e2e golden: engine triples match the naive oracle (P/R target 1.0)") {
+    val turns = (0L until 200L).flatMap(i => TranscriptGen.turnsFor(i, seed = 7L, meanTurns = 6, skewFactor = 25))
+    val result = new KgPipeline(spark).run(turns.toDS.toDF)
+
+    val got = result.annotated
+      .select("subj", "obj", "weight").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val expected = NaiveOracle.flatTriples(turns, proportional = true)
+
+    val gotKeys = got.keySet
+    val expKeys = expected.keySet
+    val tp = (gotKeys intersect expKeys).size.toDouble
+    val precision = if (gotKeys.isEmpty) 0.0 else tp / gotKeys.size
+    val recall = if (expKeys.isEmpty) 0.0 else tp / expKeys.size
+    info(f"precision=$precision%.4f recall=$recall%.4f (|got|=${gotKeys.size} |exp|=${expKeys.size})")
+    assert(precision >= 0.95 && recall >= 0.95)
+    // weights agree on the intersection
+    (gotKeys intersect expKeys).foreach { k =>
+      assert(math.abs(got(k) - expected(k)) < 1e-9, s"weight mismatch at $k")
+    }
+    assert(precision == 1.0 && recall == 1.0, "engine and oracle should agree exactly")
+  }
+
+  test("mention triples carry conv_id:turn_idx subjects and span provenance") {
+    val turns = Seq(
+      Turn("c9", 3, "user", "the ocean was calm", None, new java.sql.Timestamp(0L)))
+    val r = new KgPipeline(spark).run(turns.toDS.toDF)
+    val rows = r.mentionTriples.collect()
+    assert(rows.length === 1)
+    val row = rows.head
+    assert(row.getAs[String]("subj") === "c9:3")
+    assert(row.getAs[String]("pred") === "mentions")
+    assert(row.getAs[String]("obj") === "ENVO:00000015")
+    assert(row.getAs[String]("form") === "ocean")
+    assert(row.getAs[Int]("start") === 4 && row.getAs[Int]("end") === 9)
+  }
+
+  test("co-occurrence edges: unordered distinct-concept pairs per conversation") {
+    val ts = new java.sql.Timestamp(0L)
+    val turns = Seq(
+      Turn("a", 0, "user", "the ocean was calm", None, ts),
+      Turn("a", 1, "user", "bacterioplankton sample from lake", None, ts),
+      Turn("a", 2, "user", "lake mud of the lake", None, ts), // lake again + mud
+      Turn("b", 0, "user", "the ocean was calm", None, ts),
+      Turn("b", 1, "user", "bacterioplankton sample from lake", None, ts))
+    val r = new KgPipeline(spark).run(turns.toDS.toDF)
+    val edges = r.coOccurrence.collect()
+      .map(x => (x.getInt(0), x.getInt(1)) -> x.getLong(2)).toMap
+    assert(edges((15, 20)) === 2L) // ocean+lake co-occur in both convs
+    assert(edges((20, 1000001)) === 1L) // lake+mud only in conv a
+    assert(edges.keys.forall { case (x, y) => x < y })
+  }
+
+  test("ontology triples: derives_from closure edges present") {
+    val r = new KgPipeline(spark).run(
+      Seq(Turn("z", 0, "user", "lake", None, new java.sql.Timestamp(0L))).toDS.toDF)
+    val onto = r.ontologyTriples
+      .filter($"subj" === "ENVO:00000015").select("obj").as[String].collect().toSet
+    assert(onto.contains("ENVO:00000063")) // ocean derives_from water body
+  }
+}
