@@ -1,24 +1,88 @@
 package graft
+
+import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
+import graft.synth.TranscriptGen
+
+/**
+ * Benchmark main. Prints ONE JSON line:
+ *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
+ *    "kg":{...two-parallelism scaling evidence...}}
+ *
+ * Two parts:
+ *  1. headline operator queries on $SPARK_GRAFT_SF_DIR at local[cpus];
+ *  2. the KG pipeline on a pre-materialized synthetic transcript table,
+ *     run at local[cpus/4] then local[cpus] — the sandbox stand-in for the
+ *     north rule's N vs 4N executor scaling (efficiency =
+ *     (tput@4N / tput@N) / 4, target ≥ 0.8). Input generation is NOT timed.
+ */
 object Bench {
+
+  private val headline = Seq(
+    "a1_flat_agg", "a3_upui_keepfirst", "a6_topn_abundance",
+    "j2_broadcast_dim_join", "j6_matmul_join_agg", "j_star_join",
+    "d1_exact_dedup", "d6_ngram_jaccard", "d7_minhash_lsh",
+    "d8_simhash_pairs", "e1_cosine_topk", "e3_lsh_topk")
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def kgRun(cores: Int, turnsPath: String): (Long, Long, Double) = {
+    val spark = Sessions.local(cores, shufflePartitions = cores, appName = s"graft-bench-$cores")
+    val turns = spark.read.parquet(turnsPath)
+    val nTurns = turns.count()
+    // JIT/codegen warmup so the first timed run isn't penalized
+    new KgPipeline(spark).run(turns.limit(5000)).annotated.count()
+    // best-of-2: the sandbox VM is noisy; min is the standard throughput
+    // estimator under external interference
+    val runs = (1 to 2).map { _ =>
+      val (nTriples, sec) = time {
+        val r = new KgPipeline(spark, PipelineConfig(persistIntermediates = true)).run(turns)
+        val n = r.annotated.count() + r.mentionTriples.count() + r.coOccurrence.count()
+        spark.sharedState.cacheManager.clearCache()
+        n
+      }
+      (nTriples, sec)
+    }
+    spark.stop()
+    (nTurns, runs.head._1, runs.map(_._2).min)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val lowCpus = math.max(1, cpus / 4)
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "400000").toLong
+
+    // ---- part 1: headline operator queries ----
+    val spark = Sessions.local(cpus, shufflePartitions = cpus, appName = "graft-bench")
+    val results = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val (_, sec) = time { try fn(spark, sfDir).count() catch { case _: Throwable => -1L } }
+        name -> sec
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- part 2: KG pipeline scaling (generate once, untimed) ----
+    val turnsPath = Files.createTempDirectory("graft-bench-turns").toString + "/turns"
+    TranscriptGen.generate(spark, nConvs, partitions = cpus * 2, verbosity = 6)
+      .write.mode("overwrite").parquet(turnsPath)
     spark.stop()
+
+    val (nTurns, nTriples, secLow) = kgRun(lowCpus, turnsPath)
+    val (_, _, secHigh) = kgRun(cpus, turnsPath)
+    val tputLow = nTriples / secLow
+    val tputHigh = nTriples / secHigh
+    val efficiency = (tputHigh / tputLow) / (cpus.toDouble / lowCpus)
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum + secLow + secHigh
+    val kg = f"""{"turns":$nTurns,"triples":$nTriples,"cores_n":$lowCpus,"cores_4n":$cpus,""" +
+      f""""sec_n":$secLow%.2f,"sec_4n":$secHigh%.2f,""" +
+      f""""tput_n":$tputLow%.0f,"tput_4n":$tputHigh%.0f,"scaling_efficiency":$efficiency%.3f}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"kg":$kg,"sf":"$sfDir"}""")
   }
 }

@@ -9,7 +9,11 @@ import graft.stages._
 final case class PipelineConfig(
     score: ScoreConfig = ScoreConfig(),
     checkpointDir: Option[String] = None,
-    evidenceCap: Int = 20)
+    evidenceCap: Int = 20,
+    /** Persist the mention/score stages (MEMORY_AND_DISK) — set when more
+      * than one output sink will be materialized, so the tagger and scorer
+      * run once instead of once per sink. */
+    persistIntermediates: Boolean = false)
 
 /** All pipeline outputs (lazy DataFrames — nothing executes until a sink
   * action, exactly like the reference's pulled property-DAG,
@@ -41,15 +45,23 @@ final class KgPipeline(spark: SparkSession, cfg: PipelineConfig = PipelineConfig
   def run(turns: DataFrame): KgResult = {
     val ckpt = cfg.checkpointDir
 
-    val turnMentions = Checkpoint.stage(spark, ckpt, "mentions") {
+    val turnMentions0 = Checkpoint.stage(spark, ckpt, "mentions") {
       MentionDetect.detect(spark, turns, acBroadcast)
     }
+    val turnMentions =
+      if (cfg.persistIntermediates)
+        turnMentions0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else turnMentions0
     val mentionRows = MentionDetect.explodeMentions(turnMentions)
     val turnEnvos = MentionDetect.turnEnvos(turnMentions)
 
-    val scores = Checkpoint.stage(spark, ckpt, "scores") {
+    val scores0 = Checkpoint.stage(spark, ckpt, "scores") {
       LinkScore.score(spark, turnEnvos, dict, cfg.score)
     }
+    val scores =
+      if (cfg.persistIntermediates)
+        scores0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else scores0
 
     val annotated = Checkpoint.stage(spark, ckpt, "annotated") {
       TripleEmit.annotatedWith(spark, scores, mentionRows, dict, cfg.evidenceCap)

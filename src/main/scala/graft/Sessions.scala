@@ -12,6 +12,9 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shuffle/spill on tmpfs: the sandbox analog of cluster-grade NVMe
+      // scratch; keeps shuffle I/O from serializing multi-core scaling
+      .config("spark.local.dir", "/dev/shm/graft-spark")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

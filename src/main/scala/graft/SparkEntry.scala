@@ -1,13 +1,254 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{DocOps, EmbedOps, RelationalOps}
+import graft.synth.TranscriptGen
+
+/** Driver contract — queries per implemented operator (SURVEY §2 +
+  * training-data ops), each with a DuckDB oracle where SQL-expressible.
+  * KG-pipeline queries run on the deterministic synthetic transcript table
+  * (FIXTURES.md §1) — the tagger is not SQL-expressible, so those entries
+  * are rows-only checked by the driver and oracle-checked by the in-repo
+  * naive-oracle ScalaTest instead. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: the full transcript→EnvO KG pipeline; returns annotated_with
+    * triples on a small synthetic table. */
+  def entry(spark: SparkSession): DataFrame = {
+    val turns = TranscriptGen.generate(spark, nConvs = 100, partitions = 8)
+    new KgPipeline(spark).run(turns.toDF).annotated
+      .orderBy("subj", "obj")
+  }
+
+  private def kgTurns(spark: SparkSession): DataFrame =
+    TranscriptGen.generate(spark, nConvs = 500, partitions = 16).toDF
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- SURVEY §2 relational operator inventory (DuckDB-oracled) ---
+    "a1_flat_agg" -> ((s, d) => RelationalOps.flatAgg(s, d)),
+    "a2_ui_dedupe_agg" -> ((s, d) => RelationalOps.uiDedupeAgg(s, d)),
+    "a3_upui_keepfirst" -> ((s, d) => RelationalOps.upuiKeepFirst(s, d)),
+    "a4_proportional_share" -> ((s, d) => RelationalOps.proportionalShare(s, d)),
+    "a6_topn_abundance" -> ((s, d) => RelationalOps.topNAbundance(s, d)),
+    "a7_distinct_counts" -> ((s, d) => RelationalOps.distinctCounts(s, d)),
+    "a9_keepmin_dedupe" -> ((s, d) => RelationalOps.keepMinDedupe(s, d)),
+    "a12_window_normalize" -> ((s, d) => RelationalOps.windowNormalize(s, d)),
+    "j2_broadcast_dim_join" -> ((s, d) => RelationalOps.broadcastDimJoin(s, d)),
+    "j5_semi_join" -> ((s, d) => RelationalOps.semiJoin(s, d)),
+    "j5_anti_join" -> ((s, d) => RelationalOps.antiJoin(s, d)),
+    "j6_matmul_join_agg" -> ((s, d) => RelationalOps.matmulJoinAgg(s, d)),
+    "j_star_join" -> ((s, d) => RelationalOps.starJoin(s, d)),
+    "p2_filter_pushdown" -> ((s, d) => RelationalOps.filterPushdown(s, d)),
+    "w_topk_per_group" -> ((s, d) => RelationalOps.topKPerGroup(s, d)),
+    // --- training-data curation ops (documents) ---
+    "d1_exact_dedup" -> ((s, d) => DocOps.exactDedup(s, d)),
+    "d2_token_stats" -> ((s, d) => DocOps.tokenStats(s, d)),
+    "d3_quality_score" -> ((s, d) => DocOps.qualityScore(s, d)),
+    "d4_lang_id" -> ((s, d) => DocOps.langId(s, d)),
+    "d5_fingerprint" -> ((s, d) => DocOps.fingerprint(s, d)),
+    "d6_ngram_jaccard" -> ((s, d) => DocOps.ngramJaccardPairs(s, d)),
+    "d7_minhash_lsh" -> ((s, d) => DocOps.minhashLshPairs(s, d)),
+    "d8_simhash_pairs" -> ((s, d) => DocOps.simhashPairs(s, d)),
+    // --- similarity search (embeddings) ---
+    "e1_cosine_topk" -> ((s, d) => EmbedOps.cosineTopK(s, d)),
+    "e2_cosine_neardup" -> ((s, d) => EmbedOps.cosineNearDupPairs(s, d)),
+    "e3_lsh_topk" -> ((s, d) => EmbedOps.lshTopK(s, d)),
+    // --- KG pipeline (rows-only for the driver; oracled by ScalaTest) ---
+    "kg_annotated_triples" -> ((s, _) =>
+      new KgPipeline(s).run(kgTurns(s)).annotated
+        .select("subj", "pred", "obj", "weight", "evidence").orderBy("subj", "obj")),
+    "kg_mention_triples" -> ((s, _) =>
+      new KgPipeline(s).run(kgTurns(s)).mentionTriples
+        .select("subj", "pred", "obj", "form", "start", "end").orderBy("subj", "obj", "start")),
+    "kg_cooccurrence" -> ((s, _) =>
+      new KgPipeline(s).run(kgTurns(s)).coOccurrence.orderBy("envo_a", "envo_b")))
+
+  /** DuckDB-runnable oracles; table names resolve to parquet files in the
+    * same sfDir (driver substitutes paths). Column names/aliases match the
+    * Spark side exactly (driver sorts columns by name before hashing). */
+  def oracleSql: Map[String, String] = Map(
+    "a1_flat_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a2_ui_dedupe_agg" ->
+      """SELECT user_id, count(*) AS n_types
+        |FROM (SELECT DISTINCT user_id, event_type FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a3_upui_keepfirst" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "a4_proportional_share" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS occ FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, sum(occ) AS total FROM c GROUP BY 1)
+        |SELECT c.user_id, c.event_type, c.occ,
+        |       CAST(c.occ AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+        |FROM c JOIN t ON c.user_id = t.user_id ORDER BY c.user_id, c.event_type""".stripMargin,
+    "a6_topn_abundance" ->
+      """SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue, count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY revenue DESC, o_custkey ASC LIMIT 10""".stripMargin,
+    "a7_distinct_counts" ->
+      """SELECT (SELECT count(DISTINCT l_partkey) FROM lineitem) AS n_distinct_parts,
+        |       (SELECT count(DISTINCT l_suppkey) FROM lineitem) AS n_distinct_supps,
+        |       (SELECT count(DISTINCT l_partkey) FROM lineitem
+        |        WHERE l_partkey IN (SELECT p_partkey FROM part)) AS n_parts_in_dim""".stripMargin,
+    "a9_keepmin_dedupe" ->
+      """SELECT lang, source, min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a12_window_normalize" ->
+      """SELECT event_id, user_id, value,
+        |       CAST(value AS DOUBLE) /
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id) AS DOUBLE) AS share
+        |FROM events ORDER BY event_id""".stripMargin,
+    "j2_broadcast_dim_join" ->
+      """SELECT p_brand, sum(l_quantity) AS sum_qty,
+        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j5_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY 1""".stripMargin,
+    "j5_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY 1""".stripMargin,
+    "j6_matmul_join_agg" ->
+      """SELECT o_orderpriority, l_returnflag, sum(l_quantity) AS total_qty, count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "j_star_join" ->
+      """SELECT r_name, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue, count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p2_filter_pushdown" ->
+      """SELECT l_returnflag, count(*) AS n_rows, sum(l_quantity) AS sum_qty
+        |FROM lineitem WHERE l_quantity >= 30 AND l_discount <= 0.05
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w_topk_per_group" ->
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders)
+        |WHERE rk <= 2 ORDER BY o_orderpriority, rk""".stripMargin,
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d2_token_stats" ->
+      """WITH t AS (SELECT doc_id, length(text) AS n_chars,
+        |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id, n_chars, len(toks) AS n_tokens,
+        |       len(list_distinct(toks)) AS n_distinct
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "d3_quality_score" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and','is','in','to'))) AS n_stop
+        |  FROM t WHERE len(toks) > 0),
+        |r AS (SELECT doc_id, n_tokens, n_distinct, n_stop,
+        |  CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+        |  CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+        |  least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE)) AS len_factor
+        |  FROM m)
+        |SELECT doc_id, n_tokens, n_distinct, n_stop, ttr, stop_ratio,
+        |       ttr * CAST(0.4 AS DOUBLE) + (CAST(1.0 AS DOUBLE) - stop_ratio) * CAST(0.3 AS DOUBLE)
+        |         + len_factor * CAST(0.3 AS DOUBLE) AS quality
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "d4_lang_id" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS s_en,
+        |  len(list_filter(toks, x -> x IN ('el','la','de','los','y'))) AS s_es,
+        |  len(list_filter(toks, x -> x IN ('le','les','des','et','une'))) AS s_fr,
+        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de
+        |  FROM t)
+        |SELECT doc_id, s_en, s_es, s_fr, s_de,
+        |  CASE WHEN s_en + s_es + s_fr + s_de = 0 THEN 'und'
+        |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+        |       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+        |       WHEN s_fr >= s_de THEN 'fr'
+        |       ELSE 'de' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "d5_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d6_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS g
+        |  FROM t WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |inter AS (SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, count(*) AS common
+        |  FROM g ga JOIN g gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, common,
+        |       CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) AS jaccard
+        |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        |WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.22
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d7_minhash_lsh" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS g
+        |  FROM t WHERE len(toks) >= 3),
+        |h AS (SELECT doc_id, i, md5(CAST(i AS VARCHAR) || ':' || g) AS h
+        |  FROM g, range(0, 12) r(i)),
+        |sig AS (SELECT doc_id, i, min(h) AS mh FROM h GROUP BY 1, 2),
+        |bands AS (SELECT doc_id,
+        |    CAST(i // 3 AS VARCHAR) || '|' ||
+        |    min(CASE WHEN i % 3 = 0 THEN mh END) || '|' ||
+        |    min(CASE WHEN i % 3 = 1 THEN mh END) || '|' ||
+        |    min(CASE WHEN i % 3 = 2 THEN mh END) AS bkey
+        |  FROM sig GROUP BY doc_id, i // 3),
+        |cand AS (SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b
+        |  FROM bands ba JOIN bands bb ON ba.bkey = bb.bkey AND ba.doc_id < bb.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |inter AS (SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, count(*) AS common
+        |  FROM g ga JOIN g gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id GROUP BY 1, 2)
+        |SELECT c.doc_a, c.doc_b,
+        |       CAST(coalesce(common, 0) AS DOUBLE) /
+        |       CAST(sa.n + sb.n - coalesce(common, 0) AS DOUBLE) AS jaccard
+        |FROM cand c
+        |LEFT JOIN inter ON c.doc_a = inter.doc_a AND c.doc_b = inter.doc_b
+        |JOIN sz sa ON c.doc_a = sa.doc_id JOIN sz sb ON c.doc_b = sb.doc_id
+        |WHERE CAST(coalesce(common, 0) AS DOUBLE) /
+        |      CAST(sa.n + sb.n - coalesce(common, 0) AS DOUBLE) >= 0.18
+        |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+    "e1_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |  list_aggregate([CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)
+        |                  for i in range(1, len(q.embedding) + 1)], 'sum') /
+        |  (sqrt(list_aggregate([CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)
+        |                  for i in range(1, len(q.embedding) + 1)], 'sum')) *
+        |   sqrt(list_aggregate([CAST(n.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)
+        |                  for i in range(1, len(n.embedding) + 1)], 'sum'))) AS cosine
+        |  FROM e q JOIN e n ON q.vec_id < 3 AND q.vec_id <> n.vec_id)
+        |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM p)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "e2_cosine_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_aggregate([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+        |                  for i in range(1, len(a.embedding) + 1)], 'sum') /
+        |  (sqrt(list_aggregate([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)
+        |                  for i in range(1, len(a.embedding) + 1)], 'sum')) *
+        |   sqrt(list_aggregate([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+        |                  for i in range(1, len(b.embedding) + 1)], 'sum'))) AS cosine
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, round(cosine, 6) AS cosine FROM p
+        |WHERE cosine >= 0.38 ORDER BY vec_a, vec_b""".stripMargin)
 }

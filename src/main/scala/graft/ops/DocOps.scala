@@ -1,0 +1,214 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data pipeline operators over the `documents` table: exact and
+ * near deduplication, text quality/stats, language ID, fingerprinting.
+ *
+ * These are the large-corpus curation ops a 100 TB training pipeline needs;
+ * each is expressed with codegen'd built-in functions (no Scala UDFs) so
+ * filters/projections push into the parquet scan and all shuffles are plain
+ * hash-partition joins/aggs.
+ */
+object DocOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Lowercased word tokens, empties removed (portable: mirrored 1:1 by the
+    * DuckDB oracle's regexp_split_to_array + list_filter). */
+  private val toks: Column =
+    filter(split(lower(col("text")), "\\W+"), x => x =!= lit(""))
+
+  /** Distinct word 3-gram shingles of a document. */
+  private val shingles: Column = array_distinct(
+    expr("transform(sequence(1, greatest(size(toks) - 2, 0)), " +
+      "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))"))
+
+  private def withShingles(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(shingles).as("g"))
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact deduplication: group by content hash, keep the smallest id —
+    * the same keep-min-rowid semantics the reference uses for its GI table
+    * (add_tagger_results.py:145-147), by md5 so the oracle matches bit-wise. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("content_hash")
+
+  /** N-gram Jaccard near-dup pairs: distinct word-3-gram shingles,
+    * shingle-equality self-join, |∩| / (|A|+|B|-|∩|) ≥ threshold.
+    * Scale path: the shingle join shuffles on the shingle value — high
+    * frequency shingles are the skew risk, handled by the distinct-per-doc
+    * projection (a shingle appears once per doc) + AQE skew splitting. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.22): DataFrame = {
+    val grams = withShingles(spark, dir)
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = grams.toDF("doc_a", "g")
+      .join(grams.toDF("doc_b", "g"), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    inter
+      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "common", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash + LSH near-dup detection, portable-hash variant: the i-th hash
+    * of a shingle is md5(i || ':' || shingle) (string min = minhash), k=12
+    * signatures in 4 bands × 3 rows; docs sharing a band bucket are
+    * candidates, then verified with true Jaccard. md5 keeps the DuckDB
+    * oracle bit-identical; the production scale path would swap in xxhash64
+    * (same plan shape, one line). */
+  def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = 0.18): DataFrame = {
+    val k = 12
+    val rowsPerBand = 3
+    val grams = withShingles(spark, dir)
+    val hashes = grams
+      .crossJoin(spark.range(k).toDF("i"))
+      .select(col("doc_id"), col("i"),
+        md5(concat(col("i").cast("string"), lit(":"), col("g"))).as("h"))
+    val sig = hashes.groupBy("doc_id", "i").agg(min("h").as("mh"))
+    val bands = sig
+      .withColumn("band", floor(col("i") / rowsPerBand))
+      .withColumn("slot", col("i") % rowsPerBand)
+      .groupBy("doc_id", "band")
+      .agg(
+        min(when(col("slot") === 0, col("mh"))).as("m0"),
+        min(when(col("slot") === 1, col("mh"))).as("m1"),
+        min(when(col("slot") === 2, col("mh"))).as("m2"))
+      .select(col("doc_id"), concat_ws("|", col("band"), col("m0"), col("m1"), col("m2")).as("bkey"))
+    val candidates = bands.toDF("doc_a", "bkey")
+      .join(bands.toDF("doc_b", "bkey"), Seq("bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // verify candidates with true Jaccard
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = grams.toDF("doc_a", "g")
+      .join(grams.toDF("doc_b", "g"), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    candidates
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        coalesce(col("common"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("common"), lit(0L))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup detection (scale path, no SQL oracle): 64-bit simhash
+    * from xxhash64 over tokens, banded into 4×16-bit chunks for candidate
+    * generation, verified by Hamming distance. One narrow projection + one
+    * equality join — no quadratic stage. */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 12): DataFrame = {
+    val hashed = docs(spark, dir)
+      .withColumn("tok", explode(toks))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
+      .withColumn("h", xxhash64(col("tok")))
+    // sum ±w per bit, then sign -> bit
+    val bits = hashed.select(col("doc_id"), col("w"), col("h"),
+        explode(expr("sequence(0, 63)")).as("bit"))
+      .withColumn("contrib",
+        when(expr("(h >> bit) & 1") === 1, col("w")).otherwise(-col("w")))
+      .groupBy("doc_id", "bit").agg(sum("contrib").as("s"))
+      .withColumn("bitval", when(col("s") > 0, lit(1L)).otherwise(lit(0L)))
+      .groupBy("doc_id")
+      .agg(sum(expr("shiftleft(bitval, cast(bit as int))")).as("simhash"))
+    val chunks = bits.select(col("doc_id"), col("simhash"),
+        explode(expr("sequence(0, 3)")).as("chunk"))
+      .withColumn("ckey", concat_ws(":", col("chunk"),
+        expr("(simhash >> (chunk * 16)) & 65535")))
+    val cand = chunks.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("ckey"))
+      .join(chunks.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("ckey")), Seq("ckey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ------------------------------------------------------------- analysis
+
+  /** Token statistics: counts are integers — oracle-exact. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("toks", toks)
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: type-token ratio, stopword ratio, length factor —
+    * every double is a division/product of bit-identical operands on both
+    * engines. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stopwords = Seq("the", "a", "of", "and", "is", "in", "to")
+    val stopArr = stopwords.map(s => s"'$s'").mkString(", ")
+    docs(spark, dir)
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) > 0)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))))
+      .withColumn("n_stop", size(expr(s"filter(toks, x -> x IN ($stopArr))")))
+      .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("len_factor",
+        least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)))
+      .withColumn("quality",
+        col("ttr") * lit(0.4) + (lit(1.0) - col("stop_ratio")) * lit(0.3) + col("len_factor") * lit(0.3))
+      .select("doc_id", "n_tokens", "n_distinct", "n_stop", "ttr", "stop_ratio", "quality")
+      .orderBy("doc_id")
+  }
+
+  /** Language ID: marker-stopword counting with a deterministic tie order.
+    * (A bigram heuristic adds nothing on this synthetic corpus; markers are
+    * the portable, oracle-checkable core of the operator.) */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val markers = Map(
+      "en" -> Seq("the", "a", "of", "and", "is"),
+      "es" -> Seq("el", "la", "de", "los", "y"),
+      "fr" -> Seq("le", "les", "des", "et", "une"),
+      "de" -> Seq("der", "die", "das", "und", "ist"))
+    def score(lang: String): Column =
+      size(expr(s"filter(toks, x -> x IN (${markers(lang).map(s => s"'$s'").mkString(", ")}))"))
+    docs(spark, dir)
+      .withColumn("toks", toks)
+      .withColumn("s_en", score("en")).withColumn("s_es", score("es"))
+      .withColumn("s_fr", score("fr")).withColumn("s_de", score("de"))
+      .withColumn("pred_lang",
+        when(col("s_en") + col("s_es") + col("s_fr") + col("s_de") === 0, lit("und"))
+          .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_de"), lit("en"))
+          .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de"), lit("es"))
+          .when(col("s_fr") >= col("s_de"), lit("fr"))
+          .otherwise(lit("de")))
+      .select("doc_id", "s_en", "s_es", "s_fr", "s_de", "pred_lang")
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercase text —
+    * the canonical-content key for cross-corpus dedup. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fp"))
+      .orderBy("doc_id")
+}

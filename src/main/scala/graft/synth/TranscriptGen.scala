@@ -60,7 +60,11 @@ object TranscriptGen {
   private val tools = Vector("search", "calculator", "browser", "interpreter")
   private val baseTsMillis = 1735689600000L // 2025-01-01T00:00:00Z, fixed epoch
 
-  def turnsFor(convIdx: Long, seed: Long, meanTurns: Int, skewFactor: Int): Seq[Turn] = {
+  /** @param verbosity phrase segments per turn (1 = terse unit-test turns;
+    *                   the bench uses ~6 for realistic multi-sentence turns
+    *                   where tagging compute dominates fixed overhead). */
+  def turnsFor(convIdx: Long, seed: Long, meanTurns: Int, skewFactor: Int,
+               verbosity: Int = 1): Seq[Turn] = {
     val rng = new scala.util.Random(seed ^ (convIdx * 0x9E3779B97F4A7C15L))
     val nTurns =
       if (convIdx == 0) meanTurns * skewFactor
@@ -68,14 +72,38 @@ object TranscriptGen {
     val convId = f"conv$convIdx%08d"
     (0 until nTurns).map { t =>
       val pick = rng.nextInt(10)
-      val text = pick match {
-        case 0 | 1 => goldenTexts(rng.nextInt(goldenTexts.length))
-        case 2 | 3 | 4 => dictPhrases(rng.nextInt(dictPhrases.length))
+      // mostly-unique texts (suffix varies) so the distinct-text rewrite is
+      // exercised honestly; picks 5 and 6 are exact repeats for ui/upui
+      val base = pick match {
+        case 0 | 1 =>
+          goldenTexts(rng.nextInt(goldenTexts.length)) +
+            s" item ${rng.nextInt(1000000)}"
+        case 2 | 3 | 4 =>
+          dictPhrases(rng.nextInt(dictPhrases.length)) + " and " +
+            dictPhrases(rng.nextInt(dictPhrases.length)) +
+            s" sample ${rng.nextInt(1000000)}"
         case 5 => blockedCasePhrases(rng.nextInt(blockedCasePhrases.length))
         case 6 => // duplicate of an earlier style within the conv (ui/upui path)
           goldenTexts(convIdx.toInt.abs % goldenTexts.length)
+        case 7 =>
+          distractors(rng.nextInt(distractors.length)) +
+            s" case ${rng.nextInt(1000000)}"
         case _ => distractors(rng.nextInt(distractors.length))
       }
+      val text =
+        if (verbosity <= 1 || pick == 5 || pick == 6) base
+        else {
+          val extra = 1 + rng.nextInt(2 * verbosity - 2)
+          val sb = new StringBuilder(base)
+          var i = 0
+          while (i < extra) {
+            sb.append(". ")
+            sb.append(if (rng.nextBoolean()) dictPhrases(rng.nextInt(dictPhrases.length))
+                      else distractors(rng.nextInt(distractors.length)))
+            i += 1
+          }
+          sb.toString
+        }
       val tool = if (rng.nextInt(3) == 0) Some(tools(rng.nextInt(tools.length))) else None
       Turn(
         conv_id = convId,
@@ -90,9 +118,9 @@ object TranscriptGen {
   /** Distributed generation: ~`nConvs` conversations, seeded, reproducible. */
   def generate(spark: SparkSession, nConvs: Long, seed: Long = 42L,
                meanTurns: Int = 8, skewFactor: Int = 50,
-               partitions: Int = 32): Dataset[Turn] = {
+               partitions: Int = 32, verbosity: Int = 1): Dataset[Turn] = {
     import spark.implicits._
     spark.range(0, nConvs, 1, partitions)
-      .flatMap(i => turnsFor(i, seed, meanTurns, skewFactor))
+      .flatMap(i => turnsFor(i, seed, meanTurns, skewFactor, verbosity))
   }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{DocOps, EmbedOps}
+
+/** Correctness of the ops without a SQL oracle: simhash (independent
+  * reimplementation in the test) and LSH ANN (recall + exactness vs the
+  * brute-force baseline). Runs on the driver testdata at sf0.001. */
+class OpsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Independent simhash: same spec (xxhash64 of token, weight = count,
+    * sign per bit), implemented via Spark's xxhash64 on a 1-row frame to
+    * reuse the exact hash function without sharing the op's plan. */
+  private def simhashOf(text: String): Long = {
+    import spark.implicits._
+    val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    val counts = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val hashes = counts.keys.toSeq.toDF("tok")
+      .select(col("tok"), xxhash64(col("tok")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    var sig = 0L
+    for (bit <- 0 until 64) {
+      var s = 0L
+      for ((tok, w) <- counts) {
+        val h = hashes(tok)
+        s += (if (((h >> bit) & 1L) == 1L) w else -w)
+      }
+      if (s > 0) sig |= (1L << bit)
+    }
+    sig
+  }
+
+  test("simhash pairs: reported Hamming distances are true distances") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = DocOps.simhashPairs(spark, dir).collect()
+    assert(pairs.nonEmpty)
+    // verify a deterministic sample of 25 pairs against the independent impl
+    pairs.sortBy(r => (r.getLong(0), r.getLong(1))).take(25).foreach { r =>
+      val (a, b, ham) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      val trueHam = java.lang.Long.bitCount(simhashOf(docs(a)) ^ simhashOf(docs(b)))
+      assert(trueHam === ham, s"pair ($a,$b)")
+      assert(ham <= 12)
+    }
+  }
+
+  test("simhash banding finds every pair with Hamming <= 3 (pigeonhole)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val sigs = docs.map { case (id, t) => id -> simhashOf(t) }
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    val got = DocOps.simhashPairs(spark, dir, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+  }
+
+  test("LSH top-k: exact cosines, recall vs brute force") {
+    val brute = EmbedOps.cosineTopK(spark, dir, k = 5, nQueries = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val lsh = EmbedOps.lshTopK(spark, dir, k = 5, nQueries = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // any (query, neighbor) the LSH returns that brute force also ranked
+    // must carry the identical cosine (LSH only restricts candidates)
+    val common = brute.keySet intersect lsh.keySet
+    common.foreach(k => assert(brute(k) === lsh(k)))
+    val recall = common.size.toDouble / brute.size
+    info(f"LSH recall@5 = $recall%.2f")
+    assert(recall >= 0.4, s"recall $recall too low for defaults")
+  }
+
+  test("exact dedup: every group keeps its minimum doc_id") {
+    val d = DocOps.exactDedup(spark, dir)
+    assert(d.count() > 0)
+    assert(d.filter(col("n_copies") < 1).count() === 0)
+  }
+
+  test("entry() smoke: flagship returns annotated triples") {
+    val e = SparkEntry.entry(spark)
+    assert(e.count() > 0)
+    assert(e.columns.contains("subj") && e.columns.contains("obj"))
+  }
+}
