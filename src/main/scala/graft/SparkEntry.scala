@@ -54,15 +54,18 @@ object SparkEntry {
     "e1_cosine_topk" -> ((s, d) => EmbedOps.cosineTopK(s, d)),
     "e2_cosine_neardup" -> ((s, d) => EmbedOps.cosineNearDupPairs(s, d)),
     "e3_lsh_topk" -> ((s, d) => EmbedOps.lshTopK(s, d)),
-    // --- KG pipeline (rows-only for the driver; oracled by ScalaTest) ---
+    // --- KG pipeline (rows-only for the driver; oracled by ScalaTest).
+    //     persistIntermediates: the triple queries consume the tagger
+    //     output through several plan branches — cache it once. ---
     "kg_annotated_triples" -> ((s, _) =>
-      new KgPipeline(s).run(kgTurns(s)).annotated
+      new KgPipeline(s, PipelineConfig(persistIntermediates = true)).run(kgTurns(s)).annotated
         .select("subj", "pred", "obj", "weight", "evidence").orderBy("subj", "obj")),
     "kg_mention_triples" -> ((s, _) =>
-      new KgPipeline(s).run(kgTurns(s)).mentionTriples
+      new KgPipeline(s, PipelineConfig(persistIntermediates = true)).run(kgTurns(s)).mentionTriples
         .select("subj", "pred", "obj", "form", "start", "end").orderBy("subj", "obj", "start")),
     "kg_cooccurrence" -> ((s, _) =>
-      new KgPipeline(s).run(kgTurns(s)).coOccurrence.orderBy("envo_a", "envo_b")))
+      new KgPipeline(s, PipelineConfig(persistIntermediates = true)).run(kgTurns(s)).coOccurrence
+        .orderBy("envo_a", "envo_b")))
 
   /** DuckDB-runnable oracles; table names resolve to parquet files in the
     * same sfDir (driver substitutes paths). Column names/aliases match the

@@ -69,18 +69,23 @@ object TripleEmit {
         col("name"),
         col("form"), col("start"), col("end"))
 
-  /** Static ontology edge triples from the closure's direct-parent view is
-    * lossy; instead emit the full ancestor closure as derives_from edges
-    * (child concept derives_from ancestor concept). */
+  /** Static concept→concept KG edges, emitted once per build:
+    *  - the OBO's typed direct edges (is_a / part_of / located_in /
+    *    derives_from / adjacent_to / …, seqenv/ontology.py:88-97);
+    *  - the ancestor closure as `descends_from` edges (the relation the
+    *    scorer's backtracking/restrict stages consume — envo_groups.tsv). */
   def ontologyTriples(spark: SparkSession, dict: EnvoDict): DataFrame = {
     import spark.implicits._
-    dict.closure.toSeq.sortBy(_._1)
+    val onto = graft.dict.Obo.parseResource()
+    val typed = onto.edges.map(e => (e.child, e.rel, e.parent))
+    val closure = dict.closure.toSeq.sortBy(_._1)
       .flatMap { case (c, ancs) =>
         val cc = dict.intToCurie.get(c)
-        ancs.flatMap(a => dict.intToCurie.get(a).flatMap(ac => cc.map(x => (x, ac))))
+        ancs.flatMap(a => dict.intToCurie.get(a).flatMap(ac => cc.map(x => (x, "descends_from", ac))))
       }
-      .toDF("subj", "obj")
-      .select(col("subj"), lit("derives_from").as("pred"), col("obj"),
+    (typed ++ closure)
+      .toDF("subj", "pred", "obj")
+      .select(col("subj"), col("pred"), col("obj"),
         lit(1.0).as("weight"), lit(1L).as("evidence"))
   }
 

@@ -115,11 +115,15 @@ class PipelineSpec extends SparkSpec {
     assert(edges.keys.forall { case (x, y) => x < y })
   }
 
-  test("ontology triples: derives_from closure edges present") {
+  test("ontology triples: typed OBO edges + closure descends_from edges") {
     val r = new KgPipeline(spark).run(
       Seq(Turn("z", 0, "user", "lake", None, new java.sql.Timestamp(0L))).toDS.toDF)
-    val onto = r.ontologyTriples
-      .filter($"subj" === "ENVO:00000015").select("obj").as[String].collect().toSet
-    assert(onto.contains("ENVO:00000063")) // ocean derives_from water body
+    val ocean = r.ontologyTriples
+      .filter($"subj" === "ENVO:00000015").select("pred", "obj").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    assert(ocean.contains(("is_a", "ENVO:00001999")))          // direct typed edge
+    assert(ocean.contains(("descends_from", "ENVO:00000063"))) // closure edge
+    val preds = r.ontologyTriples.select("pred").distinct().as[String].collect().toSet
+    assert(preds.contains("part_of") && preds.contains("derives_from"))
   }
 }
