@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{DocOps, EmbedOps, RelationalOps}
+import graft.ops.{DocOps, EmbedOps, MultimodalOps, RelationalOps}
 import graft.synth.TranscriptGen
 
 /** Driver contract — queries per implemented operator (SURVEY §2 +
@@ -65,7 +65,32 @@ object SparkEntry {
         .select("subj", "pred", "obj", "form", "start", "end").orderBy("subj", "obj", "start")),
     "kg_cooccurrence" -> ((s, _) =>
       new KgPipeline(s, PipelineConfig(persistIntermediates = true)).run(kgTurns(s)).coOccurrence
-        .orderBy("envo_a", "envo_b")))
+        .orderBy("envo_a", "envo_b")),
+    "kg_sample_projection" -> ((s, _) => {
+      // scores × deterministic abundance → concept×sample projection (J6)
+      import org.apache.spark.sql.functions._
+      val scores = new KgPipeline(s, PipelineConfig(persistIntermediates = true))
+        .run(kgTurns(s)).scores
+      val abundance = scores.select(col("conv_id").as("otu")).distinct()
+        .withColumn("s", explode(array(lit("s1"), lit("s2"), lit("s3"))))
+        .select(col("otu"), col("s").as("sample"),
+          (pmod(xxhash64(concat(col("otu"), col("s"))), lit(7)) + 1).cast("double").as("weight"))
+      graft.stages.Abundance.projectToSamples(scores, abundance)
+        .orderBy("envo", "sample")
+    }),
+    // --- multimodal plumbing (stub decoder; rows-only checks) ---
+    "m1_media_features" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      MultimodalOps.extractFeatures(s, MultimodalOps.synthMedia(s, 500)).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes")).orderBy("media_id")
+    }),
+    "m2_media_payload_dedup" -> ((s, _) =>
+      MultimodalOps.exactPayloadDedup(MultimodalOps.synthMedia(s, 500))),
+    "m3_video_frame_sample" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      MultimodalOps.sampleFrames(s, MultimodalOps.synthMedia(s, 500))
+        .groupBy("media_id").agg(count(lit(1)).as("n_frames")).orderBy("media_id")
+    }))
 
   /** DuckDB-runnable oracles; table names resolve to parquet files in the
     * same sfDir (driver substitutes paths). Column names/aliases match the

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal column plumbing: images/audio/video as opaque `binary` columns
+ * with typed metadata, processed in partition-batches.
+ *
+ * The decode step is a clearly-marked STUB (`StubDecoder`): this container
+ * has no image/audio codecs, so decode produces a deterministic fake
+ * feature vector derived from the bytes. Everything around it — the media
+ * schema, batch iteration shape (the Scala analog of a Pandas-UDF
+ * `mapInPandas` batch), partitioning, and the feature/dedup/similarity
+ * plumbing downstream — is real and tested, so swapping `StubDecoder` for a
+ * JNI/codec-backed implementation changes no plan shape.
+ */
+object MultimodalOps {
+
+  /** One media row: opaque payload + typed metadata. */
+  final case class MediaRow(
+      media_id: Long,
+      kind: String,          // image | audio | video
+      bytes: Array[Byte],
+      width: Int,            // images/video
+      height: Int,
+      sample_rate: Int,      // audio
+      duration_ms: Int)      // audio/video
+
+  final case class MediaFeature(
+      media_id: Long,
+      kind: String,
+      n_bytes: Int,
+      feature: Array[Float]) // fixed-dim embedding
+
+  /** The decode/feature boundary a real implementation would fill with a
+    * codec + model. MUST be deterministic for a given payload. */
+  trait MediaDecoder extends Serializable {
+    def dim: Int
+    def decodeAndEmbed(kind: String, bytes: Array[Byte]): Array[Float]
+  }
+
+  /** STUB decoder — deterministic fake: hash-chain over the payload bytes
+    * folded into `dim` floats in [-1, 1). NOT a real decoder. */
+  final class StubDecoder(val dim: Int = 16) extends MediaDecoder {
+    def decodeAndEmbed(kind: String, bytes: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](dim)
+      var h = 1125899906842597L ^ kind.hashCode.toLong
+      var i = 0
+      while (i < bytes.length) { h = h * 31 + bytes(i); i += 1 }
+      var d = 0
+      while (d < dim) {
+        h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+        out(d) = ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat * 2f - 1f
+        d += 1
+      }
+      out
+    }
+  }
+
+  /** Deterministic synthetic media table (no external data): payload bytes
+    * derived from a seeded hash chain; kinds round-robin. */
+  def synthMedia(spark: SparkSession, n: Long, seed: Long = 42L,
+                 partitions: Int = 8): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { i =>
+      val rng = new scala.util.Random(seed ^ (i * 0x9E3779B97F4A7C15L))
+      val kind = Seq("image", "audio", "video")(i.toInt % 3)
+      val len = 64 + rng.nextInt(192)
+      val bytes = new Array[Byte](len)
+      rng.nextBytes(bytes)
+      // duplicate payloads every 17th row (exact-dedup path)
+      val dup = if (i % 17 == 0 && i > 0) {
+        val r2 = new scala.util.Random(seed)
+        val b2 = new Array[Byte](100); r2.nextBytes(b2); b2
+      } else bytes
+      MediaRow(i, kind, dup, 64 + rng.nextInt(512), 64 + rng.nextInt(512),
+        8000 + 8000 * rng.nextInt(5), 1000 + rng.nextInt(60000))
+    }
+  }
+
+  /** Feature extraction in partition batches — the mapInPandas analog:
+    * one decoder instance per partition, rows streamed through it. */
+  def extractFeatures(spark: SparkSession, media: Dataset[MediaRow],
+                      decoder: MediaDecoder = new StubDecoder()): Dataset[MediaFeature] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        MediaFeature(r.media_id, r.kind, r.bytes.length,
+          decoder.decodeAndEmbed(r.kind, r.bytes))
+      }
+    }
+  }
+
+  /** Exact payload dedup: md5 over the binary column (plan-identical to the
+    * text exact-dedup — binary-safe hash, group, keep min id). */
+  def exactPayloadDedup(media: Dataset[MediaRow]): DataFrame =
+    media.toDF()
+      .groupBy(md5(col("bytes")).as("payload_hash"))
+      .agg(min("media_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("payload_hash")
+
+  /** Near-dup by feature cosine over the stubbed embeddings — exercises the
+    * same brute-force + threshold plan as EmbedOps on real vectors. */
+  def featureNearDup(spark: SparkSession, features: Dataset[MediaFeature],
+                     threshold: Double = 0.999): DataFrame = {
+    val f = features.toDF().select(col("media_id"), col("feature"))
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val a = f.toDF("media_a", "fa")
+    val b = f.toDF("media_b", "fb")
+    a.crossJoin(b).filter(col("media_a") < col("media_b"))
+      .withColumn("cosine",
+        dot(col("fa"), col("fb")) / (sqrt(dot(col("fa"), col("fa"))) * sqrt(dot(col("fb"), col("fb")))))
+      .filter(col("cosine") >= threshold)
+      .select("media_a", "media_b", "cosine")
+      .orderBy("media_a", "media_b")
+  }
+
+  /** Video frame sampling stub: emits every `stride`-th fixed-size byte
+    * window as a "frame" payload (real impl: codec keyframe extraction).
+    * The exploded (media_id, frame_idx, frame_bytes) shape is the real
+    * contract downstream stages consume. */
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaRow],
+                   frameSize: Int = 32, stride: Int = 2): DataFrame = {
+    import spark.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      val nFrames = math.max(0, (r.bytes.length - frameSize) / frameSize + 1)
+      (0 until nFrames by stride).map { f =>
+        (r.media_id, f, r.bytes.slice(f * frameSize, f * frameSize + frameSize))
+      }
+    }.toDF("media_id", "frame_idx", "frame_bytes")
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.MultimodalOps
+
+class MultimodalSpec extends SparkSpec {
+
+  test("synthetic media table is deterministic and typed") {
+    val a = MultimodalOps.synthMedia(spark, 100).collect()
+    val b = MultimodalOps.synthMedia(spark, 100).collect()
+    assert(a.map(_.bytes.toSeq).toSeq === b.map(_.bytes.toSeq).toSeq)
+    assert(a.map(_.kind).toSet === Set("image", "audio", "video"))
+  }
+
+  test("feature extraction: fixed dim, deterministic, batch-shaped") {
+    val media = MultimodalOps.synthMedia(spark, 60)
+    val f1 = MultimodalOps.extractFeatures(spark, media).collect().sortBy(_.media_id)
+    val f2 = MultimodalOps.extractFeatures(spark, media.repartition(7)).collect().sortBy(_.media_id)
+    assert(f1.length === 60)
+    assert(f1.forall(_.feature.length === 16))
+    assert(f1.map(_.feature.toSeq).toSeq === f2.map(_.feature.toSeq).toSeq)
+  }
+
+  test("exact payload dedup finds the planted duplicates") {
+    val media = MultimodalOps.synthMedia(spark, 100)
+    val groups = MultimodalOps.exactPayloadDedup(media).collect()
+    val dupGroup = groups.filter(_.getLong(2) > 1)
+    // rows 17, 34, 51, 68, 85 share one planted payload
+    assert(dupGroup.length === 1)
+    assert(dupGroup.head.getLong(2) === 5)
+    assert(dupGroup.head.getLong(1) === 17) // keep-min id
+  }
+
+  test("feature near-dup pairs = exact-dup pairs under the stub decoder") {
+    val media = MultimodalOps.synthMedia(spark, 100)
+    val features = MultimodalOps.extractFeatures(spark, media)
+    val pairs = MultimodalOps.featureNearDup(spark, features).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the stub folds `kind` into the feature, so only same-kind duplicate
+    // payloads embed identically: 17/68 are video, 34/85 audio, 51 image
+    assert(pairs === Set((17L, 68L), (34L, 85L)))
+  }
+
+  test("video frame sampling emits strided fixed-size windows") {
+    val media = MultimodalOps.synthMedia(spark, 30)
+    val frames = MultimodalOps.sampleFrames(spark, media, frameSize = 32, stride = 2)
+    val byId = frames.groupBy("media_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.nonEmpty)
+    val sizes = frames.select(length(col("frame_bytes"))).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(sizes === Set(32))
+    // only video rows produce frames
+    val videoIds = media.filter(_.kind == "video").collect().map(_.media_id).toSet
+    assert(byId.keySet.subsetOf(videoIds))
+  }
+}

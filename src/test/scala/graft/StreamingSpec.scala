@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.model.Turn
+import graft.streaming.StreamingMentions
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def turn(conv: String, idx: Int, text: String, tsMin: Int) =
+    Turn(conv, idx, "user", text, None, new Timestamp(1735689600000L + tsMin * 60000L))
+
+  test("streaming mention detection + watermarked windowed counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val ac = spark.sparkContext.broadcast(KgPipeline.sharedAutomaton)
+    val mentions = StreamingMentions.mentionStream(spark, input.toDS(), ac)
+    val counts = StreamingMentions.windowedConceptCounts(mentions, "30 minutes", "5 minutes")
+
+    val q = counts.writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        turn("c1", 0, "the ocean was calm", 0),
+        turn("c1", 1, "bacterioplankton sample from lake", 10),
+        turn("c2", 0, "lake mud of the lake", 40), // next window
+        turn("c2", 1, "no concepts here", 41))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT envo, occurrences FROM win_counts ORDER BY envo")
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      // window 1: ocean(15)=1, lake(20)=1; window 2: lake=2, mud=1
+      assert(rows.toSet === Set((15, 1L), (20, 1L), (20, 2L), (1000001, 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful running per-conversation scores accumulate across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val ac = spark.sparkContext.broadcast(KgPipeline.sharedAutomaton)
+    val mentions = StreamingMentions.mentionStream(spark, input.toDS(), ac)
+    val running = StreamingMentions.runningConvScores(spark, mentions, stateTimeout = None)
+
+    val q = running.writeStream.format("memory").queryName("run_scores")
+      .outputMode("update").start()
+    try {
+      input.addData(turn("c1", 0, "the ocean was calm", 0))
+      q.processAllAvailable()
+      input.addData(turn("c1", 1, "the ocean was calm again", 1))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT occurrences FROM run_scores WHERE conv_id='c1' AND envo=15 ORDER BY occurrences")
+        .collect().map(_.getLong(0)).toSeq
+      // first batch emits count 1, second emits accumulated count 2
+      assert(rows === Seq(1L, 2L))
+    } finally q.stop()
+  }
+}
