@@ -13,7 +13,11 @@ final case class PipelineConfig(
     /** Persist the mention/score stages (MEMORY_AND_DISK) — set when more
       * than one output sink will be materialized, so the tagger and scorer
       * run once instead of once per sink. */
-    persistIntermediates: Boolean = false)
+    persistIntermediates: Boolean = false,
+    /** Physical strategy for mention detection: true = tag DISTINCT texts
+      * then hash-join back (wins on duplicated corpora); false = tag every
+      * turn in place with zero shuffles (wins on mostly-unique corpora). */
+    dedupeTexts: Boolean = true)
 
 /** All pipeline outputs (lazy DataFrames — nothing executes until a sink
   * action, exactly like the reference's pulled property-DAG,
@@ -25,7 +29,18 @@ final case class KgResult(
     annotated: DataFrame,      // annotated_with triples + evidence
     mentionTriples: DataFrame, // mentions triples
     coOccurrence: DataFrame,   // (envo_a, envo_b, n_convs)
-    ontologyTriples: DataFrame)
+    coOccurrenceTriples: DataFrame, // cooccurs_with triples (canonicalized)
+    ontologyTriples: DataFrame) {
+
+  /** Every dynamic triple family in one (subj, pred, obj, weight, evidence)
+    * frame — the canonical KG sink (one action materializes everything). */
+  def allTriples: DataFrame = {
+    val cols = Seq("subj", "pred", "obj", "weight", "evidence").map(org.apache.spark.sql.functions.col)
+    annotated.select(cols: _*)
+      .unionByName(mentionTriples.select(cols: _*))
+      .unionByName(coOccurrenceTriples.select(cols: _*))
+  }
+}
 
 /**
  * The transcript→EnvO KG builder. One dictionary + automaton per pipeline
@@ -46,17 +61,20 @@ final class KgPipeline(spark: SparkSession, cfg: PipelineConfig = PipelineConfig
     val ckpt = cfg.checkpointDir
 
     val turnMentions0 = Checkpoint.stage(spark, ckpt, "mentions") {
-      MentionDetect.detect(spark, turns, acBroadcast)
+      MentionDetect.detect(spark, turns, acBroadcast, cfg.dedupeTexts)
     }
-    val turnMentions =
+    // the hot intermediate is the FLAT envo-occurrence projection — all
+    // primitive columns, so the columnar cache build stays cheap (caching
+    // the nested mentions array is ~10x slower)
+    val envoRows0 = MentionDetect.envoRows(turnMentions0)
+    val envoRows =
       if (cfg.persistIntermediates)
-        turnMentions0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else turnMentions0
-    val mentionRows = MentionDetect.explodeMentions(turnMentions)
-    val turnEnvos = MentionDetect.turnEnvos(turnMentions)
+        envoRows0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else envoRows0
+    val mentionRows = MentionDetect.explodeMentions(turnMentions0)
 
     val scores0 = Checkpoint.stage(spark, ckpt, "scores") {
-      LinkScore.score(spark, turnEnvos, dict, cfg.score)
+      LinkScore.score(spark, envoRows, dict, cfg.score)
     }
     val scores =
       if (cfg.persistIntermediates)
@@ -64,20 +82,21 @@ final class KgPipeline(spark: SparkSession, cfg: PipelineConfig = PipelineConfig
       else scores0
 
     val annotated = Checkpoint.stage(spark, ckpt, "annotated") {
-      TripleEmit.annotatedWith(spark, scores, mentionRows, dict, cfg.evidenceCap)
+      TripleEmit.annotatedWith(spark, scores, envoRows, dict, cfg.evidenceCap)
     }
-    val mentionTriples = TripleEmit.mentionTriples(spark, mentionRows, dict)
+    val mentionTriples = TripleEmit.mentionTriples(spark, envoRows, dict)
     val cooc = Checkpoint.stage(spark, ckpt, "cooccurrence") {
       TripleEmit.coOccurrence(scores)
     }
 
     KgResult(
-      turnMentions = turnMentions,
+      turnMentions = turnMentions0,
       mentionRows = mentionRows,
       scores = scores,
       annotated = annotated,
       mentionTriples = mentionTriples,
       coOccurrence = cooc,
+      coOccurrenceTriples = TripleEmit.coOccurrenceTriples(spark, cooc, dict),
       ontologyTriples = TripleEmit.ontologyTriples(spark, dict))
   }
 }

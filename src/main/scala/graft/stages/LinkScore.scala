@@ -41,33 +41,39 @@ final case class ScoreConfig(
  */
 object LinkScore {
 
-  /** input: turnEnvos(conv_id, turn_idx, tool, text_hash, envos:array<int>)
+  /** input: envoRows(conv_id, turn_idx, tool, text_hash, …, envo:int) —
+    * one row per envo occurrence (MentionDetect.envoRows)
     * output: (conv_id, envo:int, score:double) */
-  def score(spark: SparkSession, turnEnvos: DataFrame, dict: EnvoDict,
+  def score(spark: SparkSession, envoRows: DataFrame, dict: EnvoDict,
             cfg: ScoreConfig): DataFrame = {
 
-    // --- normalization: choose the surviving turn rows ---
+    // --- normalization: choose the surviving TURNS (windows run at envo-row
+    //     granularity but select whole turns: min(turn_idx) per group keeps
+    //     exactly one representative turn, and duplicate texts carry
+    //     identical envo multisets so any representative is equivalent) ---
     val survivors = cfg.normalization match {
-      case "flat" => turnEnvos
+      case "flat" => envoRows
       case "ui" =>
-        // set(isokeys): one representative per distinct text per conv; the
-        // envo array is a function of the text, so any representative works.
-        turnEnvos.dropDuplicates("conv_id", "text_hash")
+        val byText = Window.partitionBy("conv_id", "text_hash")
+        envoRows
+          .withColumn("keep_turn", min("turn_idx").over(byText))
+          .filter(col("turn_idx") === col("keep_turn"))
+          .drop("keep_turn")
       case "upui" =>
-        val byText = Window.partitionBy("conv_id", "text_hash").orderBy("turn_idx")
-        val firstPerText = turnEnvos
-          .withColumn("rn_text", row_number().over(byText))
-          .filter(col("rn_text") === 1)
-        val byTool = Window.partitionBy("conv_id", "tool").orderBy("turn_idx")
+        val byText = Window.partitionBy("conv_id", "text_hash")
+        val firstPerText = envoRows
+          .withColumn("keep_turn", min("turn_idx").over(byText))
+          .filter(col("turn_idx") === col("keep_turn"))
+          .drop("keep_turn")
+        val byTool = Window.partitionBy("conv_id", "tool")
         firstPerText
-          .withColumn("rn_tool", row_number().over(byTool))
-          .filter(col("tool").isNull || col("rn_tool") === 1)
-          .drop("rn_text", "rn_tool")
+          .withColumn("keep_turn", min("turn_idx").over(byTool))
+          .filter(col("tool").isNull || col("turn_idx") === col("keep_turn"))
+          .drop("keep_turn")
     }
 
-    // --- explode to envo occurrences (duplicates within a tuple kept) ---
-    val occurrences = survivors
-      .select(col("conv_id"), explode(col("envos")).as("envo"))
+    // --- envo occurrences (duplicates within a turn kept) ---
+    val occurrences = survivors.select(col("conv_id"), col("envo"))
 
     // --- backtracking: each occurrence also contributes one occurrence of
     //     every ancestor (documented intent of analysis.py:371-372; the

@@ -27,12 +27,25 @@ object MentionDetect {
     *   -> (conv_id, turn_idx, tool, text_hash, mentions: array<struct>)
     * Only turns with ≥1 mention survive (inner join + non-empty filter),
     * matching the reference's "GIs with envo" restriction
-    * (seqenv/analysis.py:333-336). */
-  def detect(spark: SparkSession, turns: DataFrame, ac: Broadcast[AhoCorasick]): DataFrame = {
+    * (seqenv/analysis.py:333-336).
+    *
+    * Two physical strategies, same result:
+    *  - distinct-text rewrite (default): tag each DISTINCT text once, join
+    *    back on a 64-bit hash — wins when the corpus repeats text heavily
+    *    (tool banners, templates; the reference's own J4/A8 pattern);
+    *  - direct: tag every turn in place — ZERO shuffles, wins when texts
+    *    are mostly unique (tagging at 29 MB/s/core is cheaper than
+    *    shuffling the text bytes twice).
+    * At 100 TB pick per-corpus via `dedupeTexts`; both scale linearly. */
+  def detect(spark: SparkSession, turns: DataFrame, ac: Broadcast[AhoCorasick],
+             dedupeTexts: Boolean = true): DataFrame =
+    if (dedupeTexts) detectDistinct(spark, turns, ac)
+    else detectDirect(spark, turns, ac)
+
+  private def detectDistinct(spark: SparkSession, turns: DataFrame,
+                             ac: Broadcast[AhoCorasick]): DataFrame = {
     import spark.implicits._
-
     val withHash = turns.withColumn("text_hash", xxhash64(col("text")))
-
     // Tag each DISTINCT text exactly once.
     val tagged: DataFrame = withHash
       .select(col("text_hash"), col("text"))
@@ -46,12 +59,28 @@ object MentionDetect {
         }
       }
       .toDF("text_hash", "mentions")
-
     withHash
       .join(tagged, "text_hash")
       .select(
         col("conv_id"), col("turn_idx"), col("tool"),
         col("text_hash"), col("mentions"))
+  }
+
+  private def detectDirect(spark: SparkSession, turns: DataFrame,
+                           ac: Broadcast[AhoCorasick]): DataFrame = {
+    import spark.implicits._
+    turns
+      .select(col("conv_id"), col("turn_idx"), col("tool"),
+        xxhash64(col("text")).as("text_hash"), col("text"))
+      .as[(String, Int, Option[String], Long, String)]
+      .mapPartitions { iter =>
+        val automaton = ac.value
+        iter.flatMap { case (conv, idx, tool, h, text) =>
+          val spans = automaton.tag(text)
+          if (spans.isEmpty) None else Some((conv, idx, tool, h, spans))
+        }
+      }
+      .toDF("conv_id", "turn_idx", "tool", "text_hash", "mentions")
   }
 
   /** Flatten to one row per mention (for the `mentions` triple sink and
@@ -65,9 +94,25 @@ object MentionDetect {
         col("m.form").as("form"), col("m.serials").as("serials"),
         col("m.envos").as("envos"))
 
-  /** Per-turn flattened envo occurrence list, preserving span order —
-    * the analog of one GI's decoded envo tuple (seqenv/analysis.py:357). */
-  def turnEnvos(turnMentions: DataFrame): DataFrame =
-    turnMentions.withColumn("envos", flatten(col("mentions.envos")))
-      .select("conv_id", "turn_idx", "tool", "text_hash", "envos")
+  /** THE hot intermediate: one row per envo occurrence, all-primitive
+    * columns — (conv_id, turn_idx, tool, text_hash, mention_pos, start,
+    * end, form, envo). Primitive columns make the columnar cache build
+    * ~10× cheaper than persisting the nested mentions array, and every
+    * downstream stage (scorer, triple sinks, evidence) reads this one
+    * projection. The envo-occurrence granularity is the analog of one
+    * decoded GI envo tuple element (seqenv/analysis.py:357). */
+  def envoRows(turnMentions: DataFrame): DataFrame =
+    explodeMentionsWithMeta(turnMentions)
+      .select(col("conv_id"), col("turn_idx"), col("tool"), col("text_hash"),
+        col("mention_pos"), col("start"), col("end"), col("form"),
+        explode(col("envos")).as("envo"))
+
+  private def explodeMentionsWithMeta(turnMentions: DataFrame): DataFrame =
+    turnMentions
+      .select(col("conv_id"), col("turn_idx"), col("tool"), col("text_hash"),
+        posexplode(col("mentions")).as(Seq("mention_pos", "m")))
+      .select(col("conv_id"), col("turn_idx"), col("tool"), col("text_hash"),
+        col("mention_pos"),
+        col("m.start").as("start"), col("m.end").as("end"),
+        col("m.form").as("form"), col("m.envos").as("envos"))
 }

@@ -28,14 +28,27 @@ object TripleEmit {
 
   val PredAnnotated = "annotated_with"
   val PredMentions = "mentions"
+  val PredCoOccurs = "cooccurs_with"
+
+  /** Co-occurrence edges as canonical triples (CURIE subj/obj, weight =
+    * number of conversations sharing the pair). */
+  def coOccurrenceTriples(spark: SparkSession, cooc: DataFrame, dict: EnvoDict): DataFrame = {
+    val dim = Canonicalize.conceptFrame(spark, dict).select("envo", "curie")
+    cooc
+      .join(broadcast(dim.toDF("envo_a", "curie_a")), "envo_a")
+      .join(broadcast(dim.toDF("envo_b", "curie_b")), "envo_b")
+      .select(col("curie_a").as("subj"), lit(PredCoOccurs).as("pred"),
+        col("curie_b").as("obj"), col("n_convs").cast("double").as("weight"),
+        col("n_convs").as("evidence"))
+  }
 
   /** scores(conv_id, envo, score) × concept dim -> annotated_with triples
-    * with exact supporting-turn counts from the mention table. */
-  def annotatedWith(spark: SparkSession, scores: DataFrame, mentionRows: DataFrame,
+    * with exact supporting-turn counts from the envo-occurrence rows. */
+  def annotatedWith(spark: SparkSession, scores: DataFrame, envoRows: DataFrame,
                     dict: EnvoDict, evidenceCap: Int = 20): DataFrame = {
     // support: per (conv, envo) — distinct supporting turns (A10 analog)
-    val support = mentionRows
-      .select(col("conv_id"), explode(col("envos")).as("envo"), col("turn_idx"))
+    val support = envoRows
+      .select(col("conv_id"), col("envo"), col("turn_idx"))
       .groupBy("conv_id", "envo")
       .agg(
         countDistinct("turn_idx").as("n_turns"),
@@ -51,13 +64,12 @@ object TripleEmit {
         col("turn_sample"))
   }
 
-  /** mention rows -> one `mentions` triple per (turn, concept). */
-  def mentionTriples(spark: SparkSession, mentionRows: DataFrame, dict: EnvoDict): DataFrame =
+  /** envo-occurrence rows -> one `mentions` triple per (turn, concept). */
+  def mentionTriples(spark: SparkSession, envoRows: DataFrame, dict: EnvoDict): DataFrame =
     Canonicalize.canonicalize(
       spark,
-      mentionRows.select(
-        col("conv_id"), col("turn_idx"),
-        explode(col("envos")).as("envo"),
+      envoRows.select(
+        col("conv_id"), col("turn_idx"), col("envo"),
         col("start"), col("end"), col("form")),
       dict)
       .select(
@@ -93,12 +105,15 @@ object TripleEmit {
     * pair of DISTINCT concepts it is annotated with; edge weight = number of
     * conversations sharing the pair. Distinct-first keeps the self-join
     * bounded by |EnvO| per conversation (≤1640), independent of turn count —
-    * the skew guard for mega-conversations. */
+    * the skew guard for mega-conversations. SHUFFLE_HASH avoids the double
+    * sort a sort-merge self-join would pay (measured ~2× on 3.5M rows; an
+    * array-comprehension pair expansion is worse — higher-order transforms
+    * are interpreted, not codegen'd). */
   def coOccurrence(scores: DataFrame): DataFrame = {
     val d = scores.select("conv_id", "envo").distinct()
     val a = d.toDF("conv_id", "envo_a")
     val b = d.toDF("conv_id", "envo_b")
-    a.join(b, Seq("conv_id"))
+    a.hint("shuffle_hash").join(b, Seq("conv_id"))
       .filter(col("envo_a") < col("envo_b"))
       .groupBy("envo_a", "envo_b")
       .agg(count(lit(1)).as("n_convs"))

@@ -10,6 +10,7 @@ object ProfileKg {
   def main(args: Array[String]): Unit = {
     val path = args(0)
     val cores = args(1).toInt
+    val dedupe = args.length < 3 || args(2) != "direct"
     val spark = Sessions.local(cores, shufflePartitions = cores, appName = s"profile-$cores")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -23,18 +24,30 @@ object ProfileKg {
     new KgPipeline(spark).run(turns.limit(2000)).annotated.count()
 
     val ac = spark.sparkContext.broadcast(KgPipeline.sharedAutomaton)
-    val tm = MentionDetect.detect(spark, turns, ac)
+    val tm = MentionDetect.detect(spark, turns, ac, dedupe)
     time("mention_detect") { tm.count() }
-    val tmP = tm.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    time("mention_persist") { tmP.count() }
-    val te = MentionDetect.turnEnvos(tmP)
-    val sc = LinkScore.score(spark, te, pipe.dict, ScoreConfig())
+    val er = MentionDetect.envoRows(tm)
+    time("envo_rows") { er.count() }
+    val usePq = args.contains("pq")
+    val erP = if (usePq) {
+      var out: org.apache.spark.sql.DataFrame = null
+      time("envo_rows_parquet") {
+        er.write.mode("overwrite").parquet("/dev/shm/graft-profile-er")
+        out = spark.read.parquet("/dev/shm/graft-profile-er")
+        out.count()
+      }
+      out
+    } else {
+      val p = er.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("envo_rows_persist") { p.count() }
+      p
+    }
+    val sc = LinkScore.score(spark, erP, pipe.dict, ScoreConfig())
     time("link_score") { sc.count() }
     val scP = sc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     time("score_persist") { scP.count() }
-    val mr = MentionDetect.explodeMentions(tmP)
-    time("annotated") { TripleEmit.annotatedWith(spark, scP, mr, pipe.dict).count() }
-    time("mention_triples") { TripleEmit.mentionTriples(spark, mr, pipe.dict).count() }
+    time("annotated") { TripleEmit.annotatedWith(spark, scP, erP, pipe.dict).count() }
+    time("mention_triples") { TripleEmit.mentionTriples(spark, erP, pipe.dict).count() }
     time("cooccurrence") { TripleEmit.coOccurrence(scP).count() }
     spark.stop()
   }

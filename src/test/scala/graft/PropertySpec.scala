@@ -13,7 +13,7 @@ class PropertySpec extends SparkSpec {
   private def scores(turns: DataFrame, cfg: ScoreConfig): Map[(String, Int), Double] = {
     val tm = MentionDetect.detect(spark, turns,
       spark.sparkContext.broadcast(KgPipeline.sharedAutomaton))
-    LinkScore.score(spark, MentionDetect.turnEnvos(tm), KgPipeline.sharedDict, cfg)
+    LinkScore.score(spark, MentionDetect.envoRows(tm), KgPipeline.sharedDict, cfg)
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
   }
 
@@ -45,6 +45,18 @@ class PropertySpec extends SparkSpec {
         assert(math.abs(total - 1.0) < 1e-9, s"seed=$seed $norm conv=$conv sums to $total")
       }
     }
+  }
+
+  test("physical-strategy invariance: distinct-rewrite and direct tagging agree") {
+    val t = turnsDf(21L, 50)
+    val ac = spark.sparkContext.broadcast(KgPipeline.sharedAutomaton)
+    def rows(df: DataFrame) = MentionDetect.explodeMentions(df)
+      .select("conv_id", "turn_idx", "mention_pos", "start", "end", "form")
+      .collect().map(_.toSeq).toSet
+    val distinctPath = rows(MentionDetect.detect(spark, t, ac, dedupeTexts = true))
+    val directPath = rows(MentionDetect.detect(spark, t, ac, dedupeTexts = false))
+    assert(distinctPath === directPath)
+    assert(distinctPath.nonEmpty)
   }
 
   test("partitioning invariance: scores identical under repartition/shuffle") {
