@@ -41,6 +41,7 @@ object SparkEntry {
     "j_star_join" -> ((s, d) => RelationalOps.starJoin(s, d)),
     "p2_filter_pushdown" -> ((s, d) => RelationalOps.filterPushdown(s, d)),
     "w_topk_per_group" -> ((s, d) => RelationalOps.topKPerGroup(s, d)),
+    "w_sessionize" -> ((s, d) => RelationalOps.sessionize(s, d)),
     // --- training-data curation ops (documents) ---
     "d1_exact_dedup" -> ((s, d) => DocOps.exactDedup(s, d)),
     "d2_token_stats" -> ((s, d) => DocOps.tokenStats(s, d)),
@@ -162,6 +163,22 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
         |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders)
         |WHERE rk <= 2 ORDER BY o_orderpriority, rk""".stripMargin,
+    "w_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM g)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end,
+        |       floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT AS duration_secs
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -153,6 +153,30 @@ object RelationalOps {
       .crossJoin(inPart.select(countDistinct("l_partkey").as("n_parts_in_dim")))
   }
 
+  /** Sessionization: gap-based session assignment over an event stream —
+    * lag + cumulative-sum windows, then per-session aggregates. The
+    * transcript-pipeline op for splitting long activity streams into
+    * bounded work units. */
+  def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapMinutes * 60L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum("new_session").over(run))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        (unix_timestamp(max("ts")) - unix_timestamp(min("ts"))).as("duration_secs"))
+      .orderBy("user_id", "session_idx")
+  }
+
   /** Multi-way star join: lineitem→orders→customer→nation→region with
     * small dims broadcast (the canonical 100 TB plan shape). */
   def starJoin(spark: SparkSession, dir: String): DataFrame =
