@@ -17,7 +17,13 @@ final case class PipelineConfig(
     /** Physical strategy for mention detection: true = tag DISTINCT texts
       * then hash-join back (wins on duplicated corpora); false = tag every
       * turn in place with zero shuffles (wins on mostly-unique corpora). */
-    dedupeTexts: Boolean = true)
+    dedupeTexts: Boolean = true,
+    /** Share the envo-row projection across triple branches via a
+      * deterministic exchange (repartition by conv_id) instead of a
+      * columnar cache: Spark's ReuseExchange computes the shuffle once and
+      * all branches read it. Shuffle write scales with cores; the columnar
+      * cache build does not. Overrides persistIntermediates for envoRows. */
+    reuseExchange: Boolean = false)
 
 /** All pipeline outputs (lazy DataFrames — nothing executes until a sink
   * action, exactly like the reference's pulled property-DAG,
@@ -68,7 +74,9 @@ final class KgPipeline(spark: SparkSession, cfg: PipelineConfig = PipelineConfig
     // the nested mentions array is ~10x slower)
     val envoRows0 = MentionDetect.envoRows(turnMentions0)
     val envoRows =
-      if (cfg.persistIntermediates)
+      if (cfg.reuseExchange)
+        envoRows0.repartition(org.apache.spark.sql.functions.col("conv_id"))
+      else if (cfg.persistIntermediates)
         envoRows0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else envoRows0
     val mentionRows = MentionDetect.explodeMentions(turnMentions0)

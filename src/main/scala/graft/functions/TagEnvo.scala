@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native Catalyst expression for dictionary mention detection:
+ * `tag_envo(text)` -> array<struct<start:int, end:int, form:string,
+ * serials:array<bigint>, envos:array<int>>>.
+ *
+ * Why an Expression and not a typed mapPartitions: the expression evaluates
+ * directly on the scan's UnsafeRow text (one UTF8String→String decode, no
+ * Dataset Encoder round trip per row), composes inside any projection, and
+ * is callable from SQL once registered (see [[GraftFunctions.register]]).
+ * The automaton is JVM-wide (built from bundled resources on first use per
+ * executor), so the expression serializes as a plain tree node with no
+ * broadcast dependency. Evaluation is CodegenFallback — the automaton call
+ * dominates, so codegen of the wrapper would not pay.
+ */
+case class TagEnvoMentions(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = TagEnvoMentions.schema
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val spans = TagEnvoMentions.automaton.tag(text)
+    val rows = new Array[Any](spans.length)
+    var i = 0
+    while (i < spans.length) {
+      val s = spans(i)
+      rows(i) = InternalRow(
+        s.start, s.end, UTF8String.fromString(s.form),
+        new GenericArrayData(s.serials), new GenericArrayData(s.envos))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TagEnvoMentions =
+    copy(child = newChild)
+
+  override def prettyName: String = "tag_envo"
+}
+
+object TagEnvoMentions {
+  /** One automaton per JVM (driver and each executor), built lazily from
+    * the bundled dictionary resources. */
+  lazy val automaton: graft.dict.AhoCorasick = graft.KgPipeline.sharedAutomaton
+
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false),
+    StructField("form", StringType, nullable = false),
+    StructField("serials", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("envos", ArrayType(IntegerType, containsNull = false), nullable = false))),
+    containsNull = false)
+}
+
+object GraftFunctions {
+  /** Column-API entry point (auto-registers on the active session — Spark 4
+    * keeps Column↔Expression private, so the public path is the function
+    * registry + call_function). */
+  def tag_envo(c: Column): Column = {
+    register(org.apache.spark.sql.SparkSession.active)
+    org.apache.spark.sql.functions.call_function("tag_envo", c)
+  }
+
+  /** Register `tag_envo` for SQL use on an existing session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "tag_envo", exprs => TagEnvoMentions(exprs.head), "built-in")
+}
+
+/** SparkSessionExtensions installer:
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)`. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("tag_envo"),
+      new ExpressionInfo(classOf[TagEnvoMentions].getName, "tag_envo"),
+      (exprs: Seq[Expression]) => TagEnvoMentions(exprs.head)))
+  }
+}

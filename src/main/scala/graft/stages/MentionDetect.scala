@@ -42,23 +42,20 @@ object MentionDetect {
     if (dedupeTexts) detectDistinct(spark, turns, ac)
     else detectDirect(spark, turns, ac)
 
+  // Both strategies evaluate the native TagEnvoMentions Catalyst expression
+  // inside a plain projection — no Dataset Encoder round trip, and the
+  // tagger composes with whatever else the projection computes.
+
   private def detectDistinct(spark: SparkSession, turns: DataFrame,
                              ac: Broadcast[AhoCorasick]): DataFrame = {
-    import spark.implicits._
     val withHash = turns.withColumn("text_hash", xxhash64(col("text")))
     // Tag each DISTINCT text exactly once.
     val tagged: DataFrame = withHash
       .select(col("text_hash"), col("text"))
       .dropDuplicates("text_hash")
-      .as[(Long, String)]
-      .mapPartitions { iter =>
-        val automaton = ac.value
-        iter.flatMap { case (h, t) =>
-          val spans = automaton.tag(t)
-          if (spans.isEmpty) None else Some((h, spans))
-        }
-      }
-      .toDF("text_hash", "mentions")
+      .select(col("text_hash"),
+        graft.functions.GraftFunctions.tag_envo(col("text")).as("mentions"))
+      .filter(size(col("mentions")) > 0)
     withHash
       .join(tagged, "text_hash")
       .select(
@@ -67,21 +64,12 @@ object MentionDetect {
   }
 
   private def detectDirect(spark: SparkSession, turns: DataFrame,
-                           ac: Broadcast[AhoCorasick]): DataFrame = {
-    import spark.implicits._
+                           ac: Broadcast[AhoCorasick]): DataFrame =
     turns
       .select(col("conv_id"), col("turn_idx"), col("tool"),
-        xxhash64(col("text")).as("text_hash"), col("text"))
-      .as[(String, Int, Option[String], Long, String)]
-      .mapPartitions { iter =>
-        val automaton = ac.value
-        iter.flatMap { case (conv, idx, tool, h, text) =>
-          val spans = automaton.tag(text)
-          if (spans.isEmpty) None else Some((conv, idx, tool, h, spans))
-        }
-      }
-      .toDF("conv_id", "turn_idx", "tool", "text_hash", "mentions")
-  }
+        xxhash64(col("text")).as("text_hash"),
+        graft.functions.GraftFunctions.tag_envo(col("text")).as("mentions"))
+      .filter(size(col("mentions")) > 0)
 
   /** Flatten to one row per mention (for the `mentions` triple sink and
     * evidence tables). */
