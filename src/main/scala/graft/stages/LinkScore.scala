@@ -1,7 +1,6 @@
 package graft.stages
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.dict.EnvoDict
 
@@ -47,29 +46,27 @@ object LinkScore {
   def score(spark: SparkSession, envoRows: DataFrame, dict: EnvoDict,
             cfg: ScoreConfig): DataFrame = {
 
-    // --- normalization: choose the surviving TURNS (windows run at envo-row
-    //     granularity but select whole turns: min(turn_idx) per group keeps
-    //     exactly one representative turn, and duplicate texts carry
-    //     identical envo multisets so any representative is equivalent) ---
+    // --- normalization: choose the surviving TURNS. keep-first is
+    //     implemented as two-level agg + join-back on (keys, min) rather
+    //     than a window: partial aggregation absorbs a conversation that
+    //     repeats one text millions of times, and the join key includes
+    //     turn_idx so hot groups spread across reducers (Salting notes).
+    //     Duplicate texts carry identical envo multisets, so keeping the
+    //     min-turn representative is equivalent to the reference's
+    //     set-of-isokeys / keep-first semantics. ---
     val survivors = cfg.normalization match {
       case "flat" => envoRows
       case "ui" =>
-        val byText = Window.partitionBy("conv_id", "text_hash")
-        envoRows
-          .withColumn("keep_turn", min("turn_idx").over(byText))
-          .filter(col("turn_idx") === col("keep_turn"))
-          .drop("keep_turn")
+        Salting.keepFirstByAgg(envoRows, Seq("conv_id", "text_hash"), "turn_idx")
       case "upui" =>
-        val byText = Window.partitionBy("conv_id", "text_hash")
-        val firstPerText = envoRows
-          .withColumn("keep_turn", min("turn_idx").over(byText))
-          .filter(col("turn_idx") === col("keep_turn"))
-          .drop("keep_turn")
-        val byTool = Window.partitionBy("conv_id", "tool")
-        firstPerText
-          .withColumn("keep_turn", min("turn_idx").over(byTool))
-          .filter(col("tool").isNull || col("turn_idx") === col("keep_turn"))
-          .drop("keep_turn")
+        val firstPerText =
+          Salting.keepFirstByAgg(envoRows, Seq("conv_id", "text_hash"), "turn_idx")
+        // tool-dedup keeps the first turn per (conv, tool) among text-
+        // survivors; null-tool rows all bypass (seqenv/analysis.py:391-392)
+        val nullTool = firstPerText.filter(col("tool").isNull)
+        val withTool = firstPerText.filter(col("tool").isNotNull)
+        Salting.keepFirstByAgg(withTool, Seq("conv_id", "tool"), "turn_idx")
+          .unionByName(nullTool)
     }
 
     // --- envo occurrences (duplicates within a turn kept) ---
