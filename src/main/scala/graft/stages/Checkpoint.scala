@@ -35,6 +35,7 @@ object Checkpoint {
     case Some(d) =>
       val path = s"$d/$name"
       if (!isCommitted(d, name)) {
+        val t0 = System.nanoTime()
         val df = compute
         df.write.mode("overwrite").parquet(path)
         val written = spark.read.parquet(path)
@@ -44,8 +45,10 @@ object Checkpoint {
           .collect()
           .map(r => s"""{"id":${r.getInt(0)},"rows":${r.getLong(1)}}""")
         val total = parts.map(_.split("\"rows\":")(1).dropRight(1).toLong).sum
+        val elapsed = (System.nanoTime() - t0) / 1e9
         val json =
-          s"""{"stage":"$name","rows":$total,"partitions":[${parts.mkString(",")}],"committed":true}"""
+          f"""{"stage":"$name","rows":$total,"elapsed_sec":$elapsed%.2f,""" +
+            s""""partitions":[${parts.mkString(",")}],"committed":true}"""
         val tmp = Paths.get(s"$d/$name.manifest.tmp")
         Files.createDirectories(Paths.get(d))
         Files.writeString(tmp, json)
