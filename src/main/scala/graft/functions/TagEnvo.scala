@@ -87,5 +87,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       org.apache.spark.sql.catalyst.FunctionIdentifier("tag_envo"),
       new ExpressionInfo(classOf[TagEnvoMentions].getName, "tag_envo"),
       (exprs: Seq[Expression]) => TagEnvoMentions(exprs.head)))
+    e.injectOptimizerRule(_ => AutoDistinctTag)
   }
 }

@@ -49,15 +49,18 @@ object MentionDetect {
   private def detectDistinct(spark: SparkSession, turns: DataFrame,
                              ac: Broadcast[AhoCorasick]): DataFrame = {
     val withHash = turns.withColumn("text_hash", xxhash64(col("text")))
-    // Tag each DISTINCT text exactly once.
+    // Tag each DISTINCT text exactly once. The join-back keys on
+    // (hash, text): the hash narrows comparisons, the text equality makes
+    // a 64-bit collision harmless (at 10^12 distinct texts a hash-only
+    // join has non-negligible odds of pairing two different texts).
     val tagged: DataFrame = withHash
       .select(col("text_hash"), col("text"))
-      .dropDuplicates("text_hash")
-      .select(col("text_hash"),
+      .dropDuplicates("text_hash", "text")
+      .select(col("text_hash"), col("text"),
         graft.functions.GraftFunctions.tag_envo(col("text")).as("mentions"))
       .filter(size(col("mentions")) > 0)
     withHash
-      .join(tagged, "text_hash")
+      .join(tagged, Seq("text_hash", "text"))
       .select(
         col("conv_id"), col("turn_idx"), col("tool"),
         col("text_hash"), col("mentions"))
