@@ -55,6 +55,7 @@ object SparkEntry {
     "e1_cosine_topk" -> ((s, d) => EmbedOps.cosineTopK(s, d)),
     "e2_cosine_neardup" -> ((s, d) => EmbedOps.cosineNearDupPairs(s, d)),
     "e3_lsh_topk" -> ((s, d) => EmbedOps.lshTopK(s, d)),
+    "e4_ivf_topk" -> ((s, d) => EmbedOps.ivfTopK(s, d)),
     // --- KG pipeline (rows-only for the driver; oracled by ScalaTest).
     //     persistIntermediates: the triple queries consume the tagger
     //     output through several plan branches — cache it once. ---

@@ -76,10 +76,11 @@ object DocOps {
     val k = 12
     val rowsPerBand = 3
     val grams = withShingles(spark, dir)
+    // k hashes per shingle via posexplode of an inline array — one narrow
+    // projection instead of a crossJoin with a range relation
     val hashes = grams
-      .crossJoin(spark.range(k).toDF("i"))
-      .select(col("doc_id"), col("i"),
-        md5(concat(col("i").cast("string"), lit(":"), col("g"))).as("h"))
+      .select(col("doc_id"), posexplode(array((0 until k).map(i =>
+        md5(concat(lit(s"$i:"), col("g")))): _*)).as(Seq("i", "h")))
     val sig = hashes.groupBy("doc_id", "i").agg(min("h").as("mh"))
     val bands = sig
       .withColumn("band", floor(col("i") / rowsPerBand))

@@ -65,6 +65,55 @@ object EmbedOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** IVF (inverted-file) approximate NN — the other scale path: assign
+    * every vector to its nearest of `nlist` coarse centroids (one broadcast
+    * pass, no shuffle of the big side), then search a query only inside its
+    * `nprobe` nearest cells. Centroids here are a deterministic sample
+    * (vec_id < nlist) — production would k-means them; the plan shape
+    * (broadcast assign → cell-key equi-join → windowed top-k) is identical
+    * and is what matters at 100 TB. */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 3,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val e = emb(spark, dir)
+    val centroids = e.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+
+    // nearest cell per vector: broadcast centroids, argmax via max_by
+    val assigned = e
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", dot(col("embedding"), col("cv")) /
+        (norm(col("embedding")) * norm(col("cv"))))
+      .groupBy("vec_id")
+      .agg(expr("max_by(cell, ccos)").as("cell"),
+        first("embedding").as("embedding"))
+
+    // nprobe nearest cells per query vector
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cell").asc)
+    val queryCells = e.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", dot(col("embedding"), col("cv")) /
+        (norm(col("embedding")) * norm(col("cv"))))
+      .withColumn("rk", row_number().over(wCell))
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
+
+    val cands = queryCells
+      .join(assigned.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "nv").distinct()
+      .withColumn("cosine", dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cands
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** LSH-bucketed approximate NN (scale path, verified in tests against the
     * brute-force baseline): `nPlanes` deterministic pseudo-random
     * hyperplanes (seeded per (plane, dim) — no RNG state, reproducible on

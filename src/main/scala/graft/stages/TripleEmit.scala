@@ -101,6 +101,43 @@ object TripleEmit {
         lit(1.0).as("weight"), lit(1L).as("evidence"))
   }
 
+  /** Per-conversation ontology subgraph (the KG-table replacement for the
+    * reference's per-seq graphviz renders, seqenv/outputs.py:176-197 /
+    * SURVEY S11): for each conversation, the direct is_a/part_of edges of
+    * the closure restricted to its annotated concepts plus their ancestors.
+    * Output: (conv_id, child_curie, rel, parent_curie). Node sets are
+    * bounded by |EnvO| per conversation. */
+  def convSubgraphs(spark: SparkSession, scores: DataFrame, dict: EnvoDict): DataFrame = {
+    import spark.implicits._
+    val onto = graft.dict.Obo.parseResource()
+    // direct closure-relevant edges with integer endpoints
+    val edges = onto.edges
+      .filter(e => e.rel == "is_a" || e.rel == "part_of")
+      .flatMap { e =>
+        for {
+          c <- EnvoDict.curieToInt(e.child)
+          p <- EnvoDict.curieToInt(e.parent)
+        } yield (c, e.rel, p)
+      }.toDF("child", "rel", "parent")
+    val closureDf = LinkScore.closureFrame(spark, dict)
+
+    val annotated = scores.select(col("conv_id"), col("envo")).distinct()
+    val ancestors = annotated
+      .join(broadcast(closureDf), col("envo") === col("child"))
+      .select(col("conv_id"), col("ancestor").as("envo"))
+    val nodes = annotated.unionByName(ancestors).distinct()
+
+    nodes
+      .join(broadcast(edges), col("envo") === col("child"))
+      .select(col("conv_id"), col("child"), col("rel"), col("parent"))
+      .join(nodes.toDF("conv_id", "parent"), Seq("conv_id", "parent"), "left_semi")
+      .join(broadcast(Canonicalize.conceptFrame(spark, dict).select(
+        col("envo").as("child"), col("curie").as("child_curie"))), "child")
+      .join(broadcast(Canonicalize.conceptFrame(spark, dict).select(
+        col("envo").as("parent"), col("curie").as("parent_curie"))), "parent")
+      .select("conv_id", "child_curie", "rel", "parent_curie")
+  }
+
   /** Concept co-occurrence edges: for each conversation, every unordered
     * pair of DISTINCT concepts it is annotated with; edge weight = number of
     * conversations sharing the pair. Distinct-first keeps the self-join

@@ -74,6 +74,18 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall too low for defaults")
   }
 
+  test("IVF top-k: exact cosines on candidates, recall vs brute force") {
+    val brute = EmbedOps.cosineTopK(spark, dir, k = 5, nQueries = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivf = EmbedOps.ivfTopK(spark, dir, k = 5, nQueries = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val common = brute.keySet intersect ivf.keySet
+    common.foreach(k => assert(brute(k) === ivf(k)))
+    val recall = common.size.toDouble / brute.size
+    info(f"IVF recall@5 = $recall%.2f (nlist=16, nprobe=4)")
+    assert(recall >= 0.3, s"recall $recall too low for defaults")
+  }
+
   test("exact dedup: every group keeps its minimum doc_id") {
     val d = DocOps.exactDedup(spark, dir)
     assert(d.count() > 0)

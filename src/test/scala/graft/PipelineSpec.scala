@@ -115,6 +115,21 @@ class PipelineSpec extends SparkSpec {
     assert(edges.keys.forall { case (x, y) => x < y })
   }
 
+  test("per-conversation ontology subgraph: concepts + ancestors, closed edges") {
+    val r = new KgPipeline(spark).run(
+      Seq(Turn("s1", 0, "user", "the ocean was calm", None, new java.sql.Timestamp(0L))).toDS.toDF)
+    val sub = graft.stages.TripleEmit.convSubgraphs(spark, r.scores, KgPipeline.sharedDict)
+      .collect().map(x => (x.getString(1), x.getString(2), x.getString(3)))
+    // ocean -> marine water body must be present; every edge endpoint is in
+    // the closure of {ocean}
+    assert(sub.contains(("ENVO:00000015", "is_a", "ENVO:00001999")))
+    val allowed = KgPipeline.sharedDict.closure(15).toSet + 15
+    sub.foreach { case (c, _, p) =>
+      assert(allowed.contains(EnvoDict.curieToInt(c).get))
+      assert(allowed.contains(EnvoDict.curieToInt(p).get))
+    }
+  }
+
   test("ontology triples: typed OBO edges + closure descends_from edges") {
     val r = new KgPipeline(spark).run(
       Seq(Turn("z", 0, "user", "lake", None, new java.sql.Timestamp(0L))).toDS.toDF)
