@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import graft.ops.RelationalOps
+
+/** Physical-plan regression guards: the plans the engine must keep at
+  * 100 TB — pushdown reaching the scans, pruned read schemas, broadcast
+  * dims, partial+final hash aggregation. */
+class PlanShapeSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("filter pushdown reaches the parquet scan with pruned columns") {
+    val p = plan(RelationalOps.filterPushdown(spark, dir))
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_quantity,30.0)"), p)
+    assert(p.contains("LessThanOrEqual(l_discount,0.05)"), p)
+    // read schema pruned to the three referenced columns
+    assert(p.contains("struct<l_quantity:double,l_discount:double,l_returnflag:string>"), p)
+  }
+
+  test("dim join broadcasts the dimension side") {
+    val p = plan(RelationalOps.broadcastDimJoin(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("star join: all four dims broadcast, single agg shuffle") {
+    val p = plan(RelationalOps.starJoin(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("flat agg is partial+final hash aggregation") {
+    val p = plan(RelationalOps.flatAgg(spark, dir))
+    assert(p.contains("HashAggregate"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "expected partial+final")
+  }
+
+  test("canonicalization joins the concept dim broadcast") {
+    val scores = {
+      import spark.implicits._
+      Seq(("c1", 15, 1.0)).toDF("conv_id", "envo", "score")
+    }
+    val p = plan(graft.stages.Canonicalize.canonicalize(spark, scores, KgPipeline.sharedDict))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("mention detect direct path has no shuffle before the tagger") {
+    val turns = graft.synth.TranscriptGen.generate(spark, 10).toDF
+    val ac = spark.sparkContext.broadcast(KgPipeline.sharedAutomaton)
+    val p = plan(graft.stages.MentionDetect.detect(spark, turns, ac, dedupeTexts = false))
+    assert(!p.contains("Exchange"), s"direct tagging must be shuffle-free:\n$p")
+  }
+}
