@@ -100,6 +100,8 @@ object Bench {
 
     // ---- part 1: headline operator queries ----
     val spark = Sessions.local(cpus, shufflePartitions = cpus, appName = "graft-bench")
+    // session/codegen warmup so the first headline query isn't charged for it
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val (_, sec) = time { try fn(spark, sfDir).count() catch { case _: Throwable => -1L } }

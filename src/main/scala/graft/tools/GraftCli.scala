@@ -42,8 +42,12 @@ object GraftCli {
         "[--abundances wide.tsv] [--N n] [--num_threads n] [--checkpoint_dir DIR]")
     val outDir = a("out_dir")
     val restrict = a.get("restrict").map { curie =>
-      EnvoDict.curieToInt(curie).getOrElse(
+      val id = EnvoDict.curieToInt(curie).getOrElse(
         throw new IllegalArgumentException(s"--restrict must be a numeric ENVO CURIE, got $curie"))
+      // reference validates restrict is a known term (seqenv/analysis.py:120-125)
+      require(KgPipeline.sharedDict.intToCurie.contains(id),
+        s"--restrict $curie is not a known EnvO concept")
+      id
     }
     val cfg = PipelineConfig(
       score = ScoreConfig(
