@@ -34,6 +34,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source streaming == batch: same mention rows end to end") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val turns = (0L until 30L).flatMap(i => graft.synth.TranscriptGen.turnsFor(i, 5L, 5, 5))
+    turns.toDS().write.mode("overwrite").parquet(s"$dir/in")
+
+    val ac = spark.sparkContext.broadcast(KgPipeline.sharedAutomaton)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema)
+      .parquet(s"$dir/in").as[Turn]
+    val q = StreamingMentions.mentionStream(spark, stream, ac)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("conv_id", "turn_idx", "envo").collect().map(_.toSeq).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val batch = StreamingMentions.mentionStream(
+      spark, spark.read.parquet(s"$dir/in").as[Turn], ac)
+      .select("conv_id", "turn_idx", "envo").collect().map(_.toSeq).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stateful running per-conversation scores accumulate across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Turn]
