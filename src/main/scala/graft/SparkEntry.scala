@@ -51,6 +51,8 @@ object SparkEntry {
     "d6_ngram_jaccard" -> ((s, d) => DocOps.ngramJaccardPairs(s, d)),
     "d7_minhash_lsh" -> ((s, d) => DocOps.minhashLshPairs(s, d)),
     "d8_simhash_pairs" -> ((s, d) => DocOps.simhashPairs(s, d)),
+    "d9_dup_clusters" -> ((s, d) =>
+      graft.ops.Components.dupClusters(s, DocOps.simhashPairs(s, d, maxHamming = 8))),
     // --- similarity search (embeddings) ---
     "e1_cosine_topk" -> ((s, d) => EmbedOps.cosineTopK(s, d)),
     "e2_cosine_neardup" -> ((s, d) => EmbedOps.cosineNearDupPairs(s, d)),

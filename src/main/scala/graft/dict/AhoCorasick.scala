@@ -42,7 +42,51 @@ final class AhoCorasick private (
     private val stoplist: Set[String]
 ) extends Serializable {
 
+  /** Dense goto table for ASCII (the overwhelmingly common case): full
+    * failure-transition closure precomputed, so scanning ASCII text is one
+    * array load per character. Non-ASCII falls back to the sparse walk.
+    * Size: nodes × 128 ints (~7 MB for the EnvO dictionary) — built once
+    * per JVM after deserialization. */
+  @transient private lazy val dense: Array[Int] = {
+    val n = nodeChars.length
+    val t = new Array[Int](n * 128)
+    // BFS order guarantees fail(u) < processed-before-u in trie depth
+    val depthOrder = {
+      val order = new Array[Int](n)
+      var idx = 0
+      val queue = new java.util.ArrayDeque[Integer]()
+      queue.add(0)
+      val seen = new Array[Boolean](n)
+      seen(0) = true
+      while (!queue.isEmpty) {
+        val u = queue.poll()
+        order(idx) = u; idx += 1
+        val cs = nodeChars(u); val nx = nodeNext(u)
+        var i = 0
+        while (i < cs.length) {
+          if (!seen(nx(i))) { seen(nx(i)) = true; queue.add(nx(i)) }
+          i += 1
+        }
+      }
+      order
+    }
+    depthOrder.foreach { u =>
+      val base = u * 128
+      if (u == 0) java.util.Arrays.fill(t, 0, 128, 0)
+      else System.arraycopy(t, fail(u) * 128, t, base, 128)
+      val cs = nodeChars(u); val nx = nodeNext(u)
+      var i = 0
+      while (i < cs.length) {
+        val c = cs(i)
+        if (c < 128) t(base + c) = nx(i)
+        i += 1
+      }
+    }
+    t
+  }
+
   @inline private def step(state: Int, c: Char): Int = {
+    if (c < 128) return dense(state * 128 + c)
     var s = state
     while (true) {
       val idx = java.util.Arrays.binarySearch(nodeChars(s), c)

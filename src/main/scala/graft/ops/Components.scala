@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Connected components over an undirected edge list by iterative min-label
+ * propagation — turns near-dup PAIRS (MinHash/SimHash/Jaccard output) into
+ * dedup CLUSTERS with a canonical representative per cluster.
+ *
+ * Each iteration is one distributed join+agg; the driver only checks the
+ * converged-count (a scalar) between iterations. Converges in
+ * O(log(diameter)) iterations for dup clusters (which are near-cliques, so
+ * usually 2-3). At 100 TB this is the standard big-graph CC recipe short
+ * of GraphX/Pregel, with no driver-side state proportional to data.
+ */
+object Components {
+
+  /** edges(a, b) -> (id, component) where component = min id reachable.
+    * Nodes = every id appearing in the edge list. */
+  def connectedComponents(spark: SparkSession, edges: DataFrame,
+                          aCol: String = "doc_a", bCol: String = "doc_b",
+                          maxIter: Int = 20): DataFrame = {
+    // symmetric neighbor list (plus self-loops so isolated endpoints keep a label)
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // localCheckpoint each iteration: truncates the logical plan so
+    // analysis cost stays constant per round (a persisted-but-unchecked
+    // iterative plan grows super-linearly in planning time)
+    var labels = sym.select(col("src").as("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // candidate label per node = min(own, min over neighbors' labels)
+      val viaNeighbors = sym
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("component").as("n_comp"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") < col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Dedup clusters from a near-dup pair table: every doc mapped to its
+    * cluster representative (min id), cluster sizes attached. */
+  def dupClusters(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(spark, pairs)
+    val sizes = cc.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "component")
+      .select(col("id").as("doc_id"), col("component").as("representative"),
+        col("cluster_size"))
+      .orderBy("representative", "doc_id")
+  }
+}
