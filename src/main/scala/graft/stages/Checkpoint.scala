@@ -39,12 +39,13 @@ object Checkpoint {
         val df = compute
         df.write.mode("overwrite").parquet(path)
         val written = spark.read.parquet(path)
-        val parts = written
+        val partCounts = written
           .groupBy(spark_partition_id().as("pid")).agg(count(lit(1)).as("rows"))
           .orderBy("pid")
           .collect()
-          .map(r => s"""{"id":${r.getInt(0)},"rows":${r.getLong(1)}}""")
-        val total = parts.map(_.split("\"rows\":")(1).dropRight(1).toLong).sum
+          .map(r => (r.getInt(0), r.getLong(1)))
+        val parts = partCounts.map { case (id, n) => s"""{"id":$id,"rows":$n}""" }
+        val total = partCounts.map(_._2).sum
         val elapsed = (System.nanoTime() - t0) / 1e9
         val json =
           f"""{"stage":"$name","rows":$total,"elapsed_sec":$elapsed%.2f,""" +

@@ -53,7 +53,15 @@ object LinkScore {
     //     turn_idx so hot groups spread across reducers (Salting notes).
     //     Duplicate texts carry identical envo multisets, so keeping the
     //     min-turn representative is equivalent to the reference's
-    //     set-of-isokeys / keep-first semantics. ---
+    //     set-of-isokeys / keep-first semantics.
+    //     Hash-width note: dedup keys on the 64-bit text_hash WITHOUT the
+    //     text. Unlike MentionDetect's global join-back (birthday paradox
+    //     over ALL distinct corpus texts — text equality required there),
+    //     this collision space is per-conversation: two different texts
+    //     must collide within ONE conv_id to mis-dedupe. At 10^12 turns /
+    //     10^9 convs the expected number of affected conversations is
+    //     ~sum(T_c^2)/2^65 ≈ 10^-5 — accepted, and cheaper than carrying
+    //     text bytes through the hot projection. ---
     val survivors = cfg.normalization match {
       case "flat" => envoRows
       case "ui" =>

@@ -1,9 +1,7 @@
 package graft.stages
 
-import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.dict.{AhoCorasick, MentionSpan}
 
 /**
  * Stage 1 — dictionary mention detection over per-turn text.
@@ -17,9 +15,11 @@ import graft.dict.{AhoCorasick, MentionSpan}
  * join-back stays a plain shuffled equi-join on a 64-bit text hash that AQE
  * can downgrade to broadcast when the distinct set is small.
  *
- * The automaton itself is broadcast once (≈6.5k patterns) and applied inside
- * a typed mapPartitions — compute-bound, embarrassingly parallel, no skew
- * (texts are hash-distributed regardless of conversation size).
+ * The automaton (≈6.5k patterns) is a JVM-global built from bundled
+ * resources on first use per executor and evaluated via the native
+ * TagEnvoMentions Catalyst expression — compute-bound, embarrassingly
+ * parallel, no skew (texts are hash-distributed regardless of conversation
+ * size), no broadcast or Dataset-encoder round trip.
  */
 object MentionDetect {
 
@@ -37,17 +37,16 @@ object MentionDetect {
     *    are mostly unique (tagging at 29 MB/s/core is cheaper than
     *    shuffling the text bytes twice).
     * At 100 TB pick per-corpus via `dedupeTexts`; both scale linearly. */
-  def detect(spark: SparkSession, turns: DataFrame, ac: Broadcast[AhoCorasick],
+  def detect(spark: SparkSession, turns: DataFrame,
              dedupeTexts: Boolean = true): DataFrame =
-    if (dedupeTexts) detectDistinct(spark, turns, ac)
-    else detectDirect(spark, turns, ac)
+    if (dedupeTexts) detectDistinct(spark, turns)
+    else detectDirect(spark, turns)
 
   // Both strategies evaluate the native TagEnvoMentions Catalyst expression
   // inside a plain projection — no Dataset Encoder round trip, and the
   // tagger composes with whatever else the projection computes.
 
-  private def detectDistinct(spark: SparkSession, turns: DataFrame,
-                             ac: Broadcast[AhoCorasick]): DataFrame = {
+  private def detectDistinct(spark: SparkSession, turns: DataFrame): DataFrame = {
     val withHash = turns.withColumn("text_hash", xxhash64(col("text")))
     // Tag each DISTINCT text exactly once. The join-back keys on
     // (hash, text): the hash narrows comparisons, the text equality makes
@@ -66,8 +65,7 @@ object MentionDetect {
         col("text_hash"), col("mentions"))
   }
 
-  private def detectDirect(spark: SparkSession, turns: DataFrame,
-                           ac: Broadcast[AhoCorasick]): DataFrame =
+  private def detectDirect(spark: SparkSession, turns: DataFrame): DataFrame =
     turns
       .select(col("conv_id"), col("turn_idx"), col("tool"),
         xxhash64(col("text")).as("text_hash"),

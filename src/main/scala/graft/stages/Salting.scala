@@ -19,9 +19,14 @@ import org.apache.spark.sql.functions._
  */
 object Salting {
 
-  /** Spread rows of hot keys across `salt` partitions deterministically. */
+  /** Spread rows of hot keys across `salt` partitions deterministically:
+    * the salt derives from the full row content, so the same row lands in
+    * the same partition on every run and on task retry (a
+    * monotonically_increasing_id-based salt would not — it depends on
+    * partition layout and is recomputed on retries). */
   def saltedRepartition(df: DataFrame, key: Column, salt: Int, partitions: Int): DataFrame =
-    df.repartition(partitions, key, pmod(xxhash64(monotonically_increasing_id()), lit(salt)))
+    df.repartition(partitions, key,
+      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salt)))
 
   /** Skew-proof equivalent of `min(orderCol) over (partition by keys)` +
     * keep-matching-rows: two-level aggregation (salt phase implicit in the

@@ -72,7 +72,7 @@ object GraftCli {
       case (Some(ab), Some(n)) =>
         turnsAll.join(
           broadcast(Abundance.topN(ab, n.toInt).select(col("otu").as("conv_id"))),
-          "conv_id").hint("broadcast") // semi-like restrict, keeps columns
+          "conv_id") // broadcast semi-like restrict, keeps columns
       case _ => turnsAll
     }
 

@@ -23,8 +23,7 @@ object ProfileKg {
     // warmup
     new KgPipeline(spark).run(turns.limit(2000)).annotated.count()
 
-    val ac = spark.sparkContext.broadcast(KgPipeline.sharedAutomaton)
-    val tm = MentionDetect.detect(spark, turns, ac, dedupe)
+    val tm = MentionDetect.detect(spark, turns, dedupe)
     time("mention_detect") { tm.count() }
     val er = MentionDetect.envoRows(tm)
     time("envo_rows") { er.count() }

@@ -23,7 +23,7 @@ class LinkScoreSpec extends SparkSpec {
 
   private def scores(turns: Seq[Turn], cfg: ScoreConfig): Map[(String, Int), Double] = {
     val pipeline = new KgPipeline(spark)
-    val tm = MentionDetect.detect(spark, turns.toDS.toDF, spark.sparkContext.broadcast(KgPipeline.sharedAutomaton))
+    val tm = MentionDetect.detect(spark, turns.toDS.toDF)
     LinkScore.score(spark, MentionDetect.envoRows(tm), pipeline.dict, cfg)
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
   }

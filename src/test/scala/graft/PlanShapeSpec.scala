@@ -51,8 +51,7 @@ class PlanShapeSpec extends SparkSpec {
 
   test("mention detect direct path has no shuffle before the tagger") {
     val turns = graft.synth.TranscriptGen.generate(spark, 10).toDF
-    val ac = spark.sparkContext.broadcast(KgPipeline.sharedAutomaton)
-    val p = plan(graft.stages.MentionDetect.detect(spark, turns, ac, dedupeTexts = false))
+    val p = plan(graft.stages.MentionDetect.detect(spark, turns, dedupeTexts = false))
     assert(!p.contains("Exchange"), s"direct tagging must be shuffle-free:\n$p")
   }
 }

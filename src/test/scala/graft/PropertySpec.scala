@@ -11,8 +11,7 @@ class PropertySpec extends SparkSpec {
   import spark.implicits._
 
   private def scores(turns: DataFrame, cfg: ScoreConfig): Map[(String, Int), Double] = {
-    val tm = MentionDetect.detect(spark, turns,
-      spark.sparkContext.broadcast(KgPipeline.sharedAutomaton))
+    val tm = MentionDetect.detect(spark, turns)
     LinkScore.score(spark, MentionDetect.envoRows(tm), KgPipeline.sharedDict, cfg)
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
   }
@@ -49,12 +48,11 @@ class PropertySpec extends SparkSpec {
 
   test("physical-strategy invariance: distinct-rewrite and direct tagging agree") {
     val t = turnsDf(21L, 50)
-    val ac = spark.sparkContext.broadcast(KgPipeline.sharedAutomaton)
     def rows(df: DataFrame) = MentionDetect.explodeMentions(df)
       .select("conv_id", "turn_idx", "mention_pos", "start", "end", "form")
       .collect().map(_.toSeq).toSet
-    val distinctPath = rows(MentionDetect.detect(spark, t, ac, dedupeTexts = true))
-    val directPath = rows(MentionDetect.detect(spark, t, ac, dedupeTexts = false))
+    val distinctPath = rows(MentionDetect.detect(spark, t, dedupeTexts = true))
+    val directPath = rows(MentionDetect.detect(spark, t, dedupeTexts = false))
     assert(distinctPath === directPath)
     assert(distinctPath.nonEmpty)
   }
