@@ -187,10 +187,12 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "d2_token_stats" ->
       """WITH t AS (SELECT doc_id, length(text) AS n_chars,
-        |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks,
+        |  regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]') AS pieces
         |  FROM documents)
         |SELECT doc_id, n_chars, len(toks) AS n_tokens,
-        |       len(list_distinct(toks)) AS n_distinct
+        |       len(list_distinct(toks)) AS n_distinct,
+        |       len(pieces) AS n_bpeish
         |FROM t ORDER BY doc_id""".stripMargin,
     "d3_quality_score" ->
       """WITH t AS (SELECT doc_id,

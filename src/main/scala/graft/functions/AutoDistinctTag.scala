@@ -43,49 +43,46 @@ object AutoDistinctTag extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
-      case p @ Project(projectList, child) if !alreadyRewritten(p) =>
-        val tagCalls = projectList.flatMap(_.collect { case t: TagEnvoMentions => t }).distinct
-        tagCalls match {
-          case Seq(tag @ TagEnvoMentions(textExpr))
-              if textExpr.deterministic &&
-                textExpr.references.subsetOf(child.outputSet) &&
-                // never re-enter the rule's own emitted projections (the
-                // optimizer batch may run to fixed point)
-                !textExpr.references.exists(_.name == MarkerName) &&
-                !projectList.exists(_.name == TaggedName) =>
-            rewrite(projectList, child, tag, textExpr)
-          case _ => p
+      case p @ Project(projectList, child)
+          // never re-enter the rule's own emitted projections (the
+          // optimizer batch may run to fixed point)
+          if !projectList.exists(ne =>
+            ne.name == TaggedName || ne.references.exists(_.name == MarkerName)) =>
+        // a collapsed projection may hold SEVERAL distinct tag calls
+        // (CollapseProject merges stacked selects) — chain one dedupe-join
+        // per call; each join only ADDS a column, so later calls' text
+        // expressions still resolve against the original child attributes
+        val tagCalls = projectList
+          .flatMap(_.collect { case t: TagEnvoMentions => t }).distinct
+          .filter(t => t.child.deterministic &&
+            t.child.references.subsetOf(child.outputSet))
+        if (tagCalls.isEmpty) p
+        else {
+          var current: LogicalPlan = child
+          var newList = projectList
+          tagCalls.foreach { tag =>
+            val (joined, taggedAttr) = rewriteOne(current, tag.child)
+            current = joined
+            newList = newList.map { ne =>
+              ne.transform { case t: TagEnvoMentions if t == tag => taggedAttr }
+                .asInstanceOf[NamedExpression]
+            }
+          }
+          Project(newList, current)
         }
     }
   }
 
-  /** Only the Project this rule itself just emitted (whose child is the
-    * rewrite's Join over the tagged-distinct Project) is skipped — an
-    * unrelated tag_envo projection HIGHER in the same tree must still be
-    * rewritten, so the guard must not scan the whole subtree. */
-  private def alreadyRewritten(p: Project): Boolean = p.child match {
-    case Join(_, Project(pl, _: Aggregate), _, _, _) =>
-      pl.exists(_.name == TaggedName)
-    case _ => false
-  }
-
-  private def rewrite(projectList: Seq[NamedExpression], child: LogicalPlan,
-                      tag: TagEnvoMentions, textExpr: Expression): LogicalPlan = {
-    // distinct texts: Aggregate(groupBy textExpr, first(textExpr) as marker)
+  /** Build distinct-texts Aggregate + tag Project + join-back over `base`;
+    * returns the joined plan and the tagged output attribute. */
+  private def rewriteOne(base: LogicalPlan, textExpr: Expression): (LogicalPlan, Attribute) = {
     val distinctText = Alias(
       First(textExpr, ignoreNulls = false).toAggregateExpression(), MarkerName)()
-    val agg = Aggregate(Seq(textExpr), Seq(distinctText), child)
-    // tagged side: (marker_text, tagged_mentions)
+    val agg = Aggregate(Seq(textExpr), Seq(distinctText), base)
     val taggedAlias = Alias(TagEnvoMentions(distinctText.toAttribute), TaggedName)()
     val tagged = Project(Seq(distinctText.toAttribute, taggedAlias), agg)
-    // join back on null-safe text equality
     val joinCond = EqualNullSafe(textExpr, distinctText.toAttribute)
-    val joined = Join(child, tagged, Inner, Some(joinCond), JoinHint.NONE)
-    // original project list with the tag call replaced by the joined attr
-    val newList = projectList.map { ne =>
-      ne.transform { case t: TagEnvoMentions if t == tag => taggedAlias.toAttribute }
-        .asInstanceOf[NamedExpression]
-    }
-    Project(newList, joined)
+    val joined = Join(base, tagged, Inner, Some(joinCond), JoinHint.NONE)
+    (joined, taggedAlias.toAttribute)
   }
 }

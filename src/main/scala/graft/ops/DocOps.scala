@@ -148,14 +148,21 @@ object DocOps {
 
   // ------------------------------------------------------------- analysis
 
-  /** Token statistics: counts are integers — oracle-exact. */
+  /** Token statistics: counts are integers — oracle-exact. `n_bpeish` is
+    * the BPE-style token estimate a training pipeline budgets by: word
+    * pieces of ≤4 letters (ceil(len/4) per alpha run), digit runs, and
+    * individual punctuation marks each count as one token. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .withColumn("toks", toks)
+      .withColumn("pieces",
+        regexp_extract_all(col("text"),
+          lit("[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
       .select(col("doc_id"),
         length(col("text")).as("n_chars"),
         size(col("toks")).as("n_tokens"),
-        size(array_distinct(col("toks"))).as("n_distinct"))
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        size(col("pieces")).as("n_bpeish"))
       .orderBy("doc_id")
 
   /** Quality scoring: type-token ratio, stopword ratio, length factor —

@@ -41,6 +41,23 @@ class AutoDistinctTagSpec extends SparkSpec {
     assert(opt.collect { case j: Join => j }.isEmpty)
   }
 
+  test("stacked projections: a tag call above a rewritten one is also rewritten") {
+    spark.conf.set(AutoDistinctTag.ConfKey, "true")
+    try {
+      // two tag_envo projections at different depths over different columns
+      val df = Seq(("the ocean was calm", "marine wetland"), ("lake", "lake"))
+        .toDF("t1", "t2").repartition(2)
+        .select(col("t2"), GraftFunctions.tag_envo(col("t1")).as("m1"))
+        .select(col("m1"), GraftFunctions.tag_envo(col("t2")).as("m2"))
+      val opt = df.queryExecution.optimizedPlan
+      val joins = opt.collect { case j: Join => j }
+      assert(joins.length >= 2, s"both tag projections should be rewritten:\n$opt")
+      val rows = df.selectExpr("size(m1) s1", "size(m2) s2").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+      assert(rows === Seq((1, 1), (1, 2))) // lake/lake and ocean/marine+wetland
+    } finally spark.conf.set(AutoDistinctTag.ConfKey, "false")
+  }
+
   test("multiplicity preserved: 3 duplicate rows stay 3 rows") {
     spark.conf.set(AutoDistinctTag.ConfKey, "true")
     try {
