@@ -106,11 +106,14 @@ object GraftCli {
       Abundance.writeBiom(spark, proj, s"$outDir/samples.biom")
     }
 
-    // the KG itself
-    result.allTriples.write.mode("overwrite").parquet(s"$outDir/triples")
-    result.ontologyTriples.write.mode("overwrite").parquet(s"$outDir/ontology_triples")
+    // the KG itself: predicate-partitioned (pred pruning at query time),
+    // sorted by subj within partitions (min/max pruning on subject scans)
+    graft.sources.TableIO.write(result.allTriples, s"$outDir/triples",
+      partitionBy = Seq("pred"), sortBy = Seq("subj"))
+    graft.sources.TableIO.write(result.ontologyTriples, s"$outDir/ontology_triples",
+      partitionBy = Seq("pred"))
 
-    val n = spark.read.parquet(s"$outDir/triples").count()
+    val n = graft.sources.TableIO.read(spark, s"$outDir/triples").count()
     println(s"wrote $n triples + matrices to $outDir")
     spark.stop()
   }
