@@ -41,6 +41,16 @@ class DictSpec extends AnyFunSuite {
     assert(curies === Array("ENVO:00000447", "ENVO:00000569"))
   }
 
+  test("synonym canonicalization: every surface variant maps to the primary CURIE") {
+    // ocean's synonym family (envo_names serial 1007000016) all collapse to
+    // ENVO:00000015 — the J7 canonicalization chain
+    for (form <- Seq("ocean", "oceans", "oceanic", "ocean region")) {
+      val serials = dict.formToSerials(form)
+      assert(serials.contains(1007000016L), s"form '$form'")
+      assert(serials.flatMap(dict.serialToEnvoInt.get).contains(15))
+    }
+  }
+
   test("stoplist case semantics: OCEAN blocked, ocean allowed, air all-blocked") {
     assert(dict.stoplist.contains("OCEAN"))
     assert(!dict.stoplist.contains("ocean"))

@@ -95,6 +95,35 @@ class LinkScoreSpec extends SparkSpec {
     assert(!s.contains(("c1", 63))) // the restrict node itself is dropped
   }
 
+  test("combined: ui + backtracking + restrict + proportional apply in reference order") {
+    // reference order (analysis.py:362-380): dedupe -> backtrack -> restrict
+    // -> proportional over the RESTRICTED occurrence count
+    val dict = KgPipeline.sharedDict
+    val turns = Seq(
+      turn("c1", 0, "the ocean was calm", None),
+      turn("c1", 1, "the ocean was calm", None), // ui-deduped duplicate
+      turn("c1", 2, "marine sediment", None))    // 2113, outside water body
+    val s = scores(turns, ScoreConfig("ui", proportional = true,
+      backtracking = true, restrict = Some(63))) // restrict: water body subtree
+    // after dedupe: occurrences {ocean 15, marine-sediment 2113}
+    // backtracking adds all ancestors of both; restrict keeps only strict
+    // descendants of 63: ocean itself + its ancestors below 63
+    def descendsFromWaterBody(e: Int) =
+      dict.closure.getOrElse(e, Array.empty[Int]).contains(63)
+    // occurrence multiset after backtracking: each child (15, 2113) once,
+    // plus one occurrence of each of its ancestors; then restrict
+    val children = Seq(15, 2113)
+    val occurrences = children.flatMap(c => c +: dict.closure(c).toSeq)
+      .filter(descendsFromWaterBody)
+    val expected = occurrences.groupBy(identity).view.mapValues(_.size).toMap
+    assert(s.keySet.map(_._2) === expected.keySet)
+    val total = s.values.sum
+    assert(math.abs(total - 1.0) < 1e-9)
+    expected.foreach { case (e, n) =>
+      assert(math.abs(s(("c1", e)) - n.toDouble / occurrences.size) < 1e-9, s"envo $e")
+    }
+  }
+
   test("conversations with no mentions are absent from the output") {
     val turns = Seq(
       turn("c1", 0, "the ocean was calm", None),
