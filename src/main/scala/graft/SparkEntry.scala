@@ -42,6 +42,8 @@ object SparkEntry {
     "p2_filter_pushdown" -> ((s, d) => RelationalOps.filterPushdown(s, d)),
     "w_topk_per_group" -> ((s, d) => RelationalOps.topKPerGroup(s, d)),
     "w_sessionize" -> ((s, d) => RelationalOps.sessionize(s, d)),
+    "a_rollup" -> ((s, d) => RelationalOps.rollupAgg(s, d)),
+    "w_running_sum" -> ((s, d) => RelationalOps.runningSum(s, d)),
     // --- training-data curation ops (documents) ---
     "d1_exact_dedup" -> ((s, d) => DocOps.exactDedup(s, d)),
     "d2_token_stats" -> ((s, d) => DocOps.tokenStats(s, d)),
@@ -166,6 +168,16 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
         |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders)
         |WHERE rk <= 2 ORDER BY o_orderpriority, rk""".stripMargin,
+    "a_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "w_running_sum" ->
+      """SELECT event_id, user_id, value,
+        |       sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+        |         ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS running_total
+        |FROM events ORDER BY event_id""".stripMargin,
     "w_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts,

@@ -153,6 +153,26 @@ object RelationalOps {
       .crossJoin(inPart.select(countDistinct("l_partkey").as("n_parts_in_dim")))
   }
 
+  /** Rollup aggregation — subtotal hierarchy over (returnflag, linestatus)
+    * with the grand total (beyond the reference's inventory; the standard
+    * reporting shape over the fact table). */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Running per-user total — unbounded-preceding window frame (decimal
+    * accumulation keeps the oracle exact). */
+  def runningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        sum(col("value").cast("decimal(18,2)")).over(w).as("running_total"))
+      .orderBy("event_id")
+  }
+
   /** Sessionization: gap-based session assignment over an event stream —
     * lag + cumulative-sum windows, then per-session aggregates. The
     * transcript-pipeline op for splitting long activity streams into
