@@ -43,6 +43,8 @@ object SparkEntry {
     "w_topk_per_group" -> ((s, d) => RelationalOps.topKPerGroup(s, d)),
     "w_sessionize" -> ((s, d) => RelationalOps.sessionize(s, d)),
     "a_rollup" -> ((s, d) => RelationalOps.rollupAgg(s, d)),
+    "s_set_ops" -> ((s, d) => RelationalOps.setOps(s, d)),
+    "a_percentiles" -> ((s, d) => RelationalOps.percentiles(s, d)),
     "w_running_sum" -> ((s, d) => RelationalOps.runningSum(s, d)),
     // --- training-data curation ops (documents) ---
     "d1_exact_dedup" -> ((s, d) => DocOps.exactDedup(s, d)),
@@ -168,6 +170,19 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
         |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders)
         |WHERE rk <= 2 ORDER BY o_orderpriority, rk""".stripMargin,
+    "s_set_ops" ->
+      """WITH u AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |h AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'),
+        |b AS (SELECT o_custkey, 'both' AS set_op FROM (SELECT * FROM u INTERSECT SELECT * FROM h)),
+        |uo AS (SELECT o_custkey, 'urgent_only' AS set_op FROM (SELECT * FROM u EXCEPT SELECT * FROM h))
+        |SELECT o_custkey, set_op FROM b UNION ALL SELECT o_custkey, set_op FROM uo
+        |ORDER BY set_op, o_custkey""".stripMargin,
+    "a_percentiles" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.25) AS p25,
+        |       quantile_cont(l_quantity, 0.5) AS median,
+        |       quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "a_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)

@@ -153,6 +153,30 @@ object RelationalOps {
       .crossJoin(inPart.select(countDistinct("l_partkey").as("n_parts_in_dim")))
   }
 
+  /** Set operators: INTERSECT / EXCEPT over key sets (customers with
+    * normal-priority orders vs urgent orders). */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val high = orders.filter(col("o_orderpriority") === "2-HIGH")
+      .select(col("o_custkey"))
+    val both = urgent.intersect(high).withColumn("set_op", lit("both"))
+    val urgentOnly = urgent.except(high).withColumn("set_op", lit("urgent_only"))
+    both.unionByName(urgentOnly).orderBy("set_op", "o_custkey")
+  }
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ==
+    * DuckDB `quantile_cont`, both linear interpolation over sorted data). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("median"),
+        expr("percentile(l_quantity, 0.75)").as("p75"))
+      .orderBy("l_returnflag")
+
   /** Rollup aggregation — subtotal hierarchy over (returnflag, linestatus)
     * with the grand total (beyond the reference's inventory; the standard
     * reporting shape over the fact table). */
