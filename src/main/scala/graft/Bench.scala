@@ -136,7 +136,11 @@ object Bench {
     val (nTurns, nTriples, secLow, secHigh) = pairs.maxBy { case (_, _, sl, sh) => sl / sh }
     val tputLow = nTriples / secLow
     val tputHigh = nTriples / secHigh
-    val efficiency = (secLow / secHigh) / (highCpus.toDouble / lowCpus)
+    // >1.0 is physically impossible for real scaling — it means host steal
+    // hit only the low-core half of the pair; cap so the report stays
+    // interpretable (raw pair seconds are published alongside)
+    val efficiency = math.min(1.0,
+      (secLow / secHigh) / (highCpus.toDouble / lowCpus))
 
     // hardware ceiling of the same span, from a raw (no-Spark) thread loop
     val probeTexts = (0L until 20000L)
