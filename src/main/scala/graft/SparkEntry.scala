@@ -44,6 +44,7 @@ object SparkEntry {
     "w_sessionize" -> ((s, d) => RelationalOps.sessionize(s, d)),
     "a_rollup" -> ((s, d) => RelationalOps.rollupAgg(s, d)),
     "s_set_ops" -> ((s, d) => RelationalOps.setOps(s, d)),
+    "a_approx_distinct" -> ((s, d) => RelationalOps.approxDistinct(s, d)),
     "a_percentiles" -> ((s, d) => RelationalOps.percentiles(s, d)),
     "w_running_sum" -> ((s, d) => RelationalOps.runningSum(s, d)),
     // --- training-data curation ops (documents) ---

@@ -153,6 +153,20 @@ object RelationalOps {
       .crossJoin(inPart.select(countDistinct("l_partkey").as("n_parts_in_dim")))
   }
 
+  /** HLL sketch distinct counts next to the exact ones — the constant-
+    * memory cardinality path a 100 TB pipeline uses when exact
+    * countDistinct's shuffle is too expensive. Error bound asserted in
+    * OpsSpec; rows-only for the driver (sketches are engine-specific). */
+  def approxDistinct(spark: SparkSession, dir: String, rsd: Double = 0.02): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct("l_partkey").as("exact_parts"),
+        approx_count_distinct("l_partkey", rsd).as("approx_parts"),
+        countDistinct("l_orderkey").as("exact_orders"),
+        approx_count_distinct("l_orderkey", rsd).as("approx_orders"))
+      .orderBy("l_returnflag")
+
   /** Set operators: INTERSECT / EXCEPT over key sets (customers with
     * normal-priority orders vs urgent orders). */
   def setOps(spark: SparkSession, dir: String): DataFrame = {

@@ -86,6 +86,16 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall too low for defaults")
   }
 
+  test("HLL approx distinct within its relative standard deviation bound") {
+    graft.ops.RelationalOps.approxDistinct(spark, dir, rsd = 0.02).collect().foreach { r =>
+      val (exact, approx) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approx - exact).toDouble / exact <= 0.1,
+        s"parts approx $approx vs exact $exact")
+      val (eo, ao) = (r.getLong(3), r.getLong(4))
+      assert(math.abs(ao - eo).toDouble / eo <= 0.1, s"orders approx $ao vs exact $eo")
+    }
+  }
+
   test("exact dedup: every group keeps its minimum doc_id") {
     val d = DocOps.exactDedup(spark, dir)
     assert(d.count() > 0)
