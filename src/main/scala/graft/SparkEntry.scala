@@ -123,7 +123,7 @@ object SparkEntry {
         |       CAST(c.occ AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
         |FROM c JOIN t ON c.user_id = t.user_id ORDER BY c.user_id, c.event_type""".stripMargin,
     "a6_topn_abundance" ->
-      """SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue, count(*) AS n_orders
+      """SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, count(*) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY revenue DESC, o_custkey ASC LIMIT 10""".stripMargin,
     "a7_distinct_counts" ->
       """SELECT (SELECT count(DISTINCT l_partkey) FROM lineitem) AS n_distinct_parts,
@@ -140,7 +140,7 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
     "j2_broadcast_dim_join" ->
       """SELECT p_brand, sum(l_quantity) AS sum_qty,
-        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "j5_semi_join" ->
@@ -155,7 +155,7 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "j_star_join" ->
-      """SELECT r_name, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue, count(*) AS n_lines
+      """SELECT r_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, count(*) AS n_lines
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -190,9 +190,9 @@ object SparkEntry {
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "w_running_sum" ->
       """SELECT event_id, user_id, value,
-        |       sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
         |         ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |         AS running_total
+        |         AS DOUBLE) AS running_total
         |FROM events ORDER BY event_id""".stripMargin,
     "w_sessionize" ->
       """WITH g AS (
@@ -206,7 +206,7 @@ object SparkEntry {
         |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
         |  FROM g)
-        |SELECT user_id, session_idx, count(*) AS n_events,
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
         |       min(ts) AS session_start, max(ts) AS session_end,
         |       floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT AS duration_secs
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

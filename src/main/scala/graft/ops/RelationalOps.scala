@@ -59,11 +59,15 @@ object RelationalOps {
   }
 
   /** A6 top-N by abundance — TakeOrderedAndProject
-    * (seqenv/analysis.py:200-225; tiebreak by key for determinism). */
+    * (seqenv/analysis.py:200-225; tiebreak by key for determinism).
+    * Accumulate in decimal(18,2) for exactness, emit double: DECIMAL
+    * output widths differ between engines (Spark 28,2 vs DuckDB 38,2) and
+    * the driver hashes the printed representation — double prints
+    * identically on both sides. */
   def topNAbundance(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
       .groupBy("o_custkey")
-      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("revenue").desc, col("o_custkey").asc)
       .limit(10)
@@ -110,7 +114,7 @@ object RelationalOps {
         col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(sum("l_quantity").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("revenue"))
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
       .orderBy("p_brand")
 
   /** P2/P3 predicate pushdown — filters reach the parquet scan. */
@@ -201,13 +205,14 @@ object RelationalOps {
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   /** Running per-user total — unbounded-preceding window frame (decimal
-    * accumulation keeps the oracle exact). */
+    * accumulation keeps the oracle exact; double output so the printed
+    * representation matches the oracle's bit-wise). */
   def runningSum(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("value"),
-        sum(col("value").cast("decimal(18,2)")).over(w).as("running_total"))
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("running_total"))
       .orderBy("event_id")
   }
 
@@ -244,7 +249,7 @@ object RelationalOps {
       .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name")
-      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("revenue"),
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy("r_name")
 }

@@ -1,29 +1,42 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: run graft.Verify output
-against the DuckDB oracles and compare values (columns sorted by name,
-rows sorted), so oracle drift is caught before the round ends.
+against the DuckDB oracles and compare STRINGIFIED values (columns sorted by
+name, rows sorted) — the driver hashes printed representations, so
+Decimal("1.70") vs float 1.7 MUST fail here even though the values are
+numerically equal. That class of mismatch slipped through round 1 when this
+script float-normalized before comparing.
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 (run `sbt -batch "runMain graft.Verify <sfDir> <outDir>"` first)
 """
-import json, sys, glob, os
+import json, sys, glob, os, datetime, decimal, math
 import duckdb
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+def cell_str(v):
+    """Driver-faithful stringification: the printed representation is what
+    gets hashed, so Decimal keeps its trailing zeros and floats use repr."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        return v.isoformat()
+    if v is pd.NaT:
+        return "NULL"
+    return str(v)
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize decimals/floats to plain floats rounded for stable compare
     for c in df.columns:
-        if str(df[c].dtype) == "object":
-            try:
-                import decimal
-                if df[c].map(lambda v: isinstance(v, decimal.Decimal)).any():
-                    df[c] = df[c].astype(float)
-            except Exception:
-                pass
+        df[c] = df[c].map(cell_str)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
@@ -54,18 +67,18 @@ def main(sf_dir, out_dir):
             print(f"✗ {name}: ROWCOUNT differ: spark={len(g)} duck={len(e)}")
             n_bad += 1
             continue
-        try:
-            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
-            print(f"✓ {name}: {len(g)} rows exact")
+        if g.equals(e):
+            print(f"✓ {name}: {len(g)} rows string-exact")
             n_ok += 1
-        except AssertionError:
-            try:
-                pd.testing.assert_frame_equal(g, e, check_dtype=False, rtol=0, atol=1e-12)
-                print(f"~ {name}: {len(g)} rows equal within 1e-12 (NOT exact — driver hash may fail!)")
-                n_bad += 1
-            except AssertionError as e2:
-                print(f"✗ {name}: VALUES differ:\n{str(e2)[:500]}")
-                n_bad += 1
+        else:
+            diff = (g != e)
+            bad_cols = [c for c in g.columns if diff[c].any()]
+            example = ""
+            for c in bad_cols[:2]:
+                i = diff[c].idxmax()
+                example += f" [{c} row{i}: spark={g[c][i]!r} duck={e[c][i]!r}]"
+            print(f"✗ {name}: STRINGS differ in {bad_cols} ({int(diff.values.sum())} cells){example}")
+            n_bad += 1
     print(f"\n{n_ok} exact, {n_bad} problems")
     return 1 if n_bad else 0
 
