@@ -262,9 +262,11 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
         |  FROM documents),
-        |g AS (SELECT doc_id, unnest(list_distinct(
+        |g0 AS (SELECT doc_id, unnest(list_distinct(
         |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS g
         |  FROM t WHERE len(toks) >= 3),
+        |stop AS (SELECT g FROM g0 GROUP BY g HAVING count(*) > 50),
+        |g AS (SELECT * FROM g0 WHERE g NOT IN (SELECT g FROM stop)),
         |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
         |inter AS (SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, count(*) AS common
         |  FROM g ga JOIN g gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id GROUP BY 1, 2)
@@ -277,9 +279,11 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
         |  FROM documents),
-        |g AS (SELECT doc_id, unnest(list_distinct(
+        |g0 AS (SELECT doc_id, unnest(list_distinct(
         |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS g
         |  FROM t WHERE len(toks) >= 3),
+        |stop AS (SELECT g FROM g0 GROUP BY g HAVING count(*) > 50),
+        |g AS (SELECT * FROM g0 WHERE g NOT IN (SELECT g FROM stop)),
         |h AS (SELECT doc_id, i, md5(CAST(i AS VARCHAR) || ':' || g) AS h
         |  FROM g, range(0, 12) r(i)),
         |sig AS (SELECT doc_id, i, min(h) AS mh FROM h GROUP BY 1, 2),
@@ -291,9 +295,11 @@ object SparkEntry {
         |  FROM sig GROUP BY doc_id, i // 3),
         |cand AS (SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b
         |  FROM bands ba JOIN bands bb ON ba.bkey = bb.bkey AND ba.doc_id < bb.doc_id),
-        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |cdocs AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
+        |cg AS (SELECT * FROM g WHERE doc_id IN (SELECT doc_id FROM cdocs)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM cg GROUP BY 1),
         |inter AS (SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, count(*) AS common
-        |  FROM g ga JOIN g gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id GROUP BY 1, 2)
+        |  FROM cg ga JOIN cg gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id GROUP BY 1, 2)
         |SELECT c.doc_a, c.doc_b,
         |       CAST(coalesce(common, 0) AS DOUBLE) /
         |       CAST(sa.n + sb.n - coalesce(common, 0) AS DOUBLE) AS jaccard

@@ -33,6 +33,27 @@ object DocOps {
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(shingles).as("g"))
 
+  /** Shingles with a document-frequency cap: a shingle occurring in f docs
+    * makes f² rows in a shingle-equality self-join, so one boilerplate
+    * sentence shared by 1% of a 100 TB corpus is a full-cluster meltdown.
+    * Shingles with df > dfCap are treated as stop-shingles and removed from
+    * the representation (sizes AND intersections — mirrored by the DuckDB
+    * oracles). The stop set is tiny by Zipf construction, so the anti-join
+    * broadcasts; the dropped count is printed, never silent. */
+  private def cappedShingles(spark: SparkSession, dir: String, dfCap: Int): DataFrame = {
+    val grams = withShingles(spark, dir)
+    val stop = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("g")
+      .persist()
+    val nStop = stop.count()
+    if (nStop > 0)
+      System.err.println(
+        s"[graft] shingle df cap $dfCap dropped $nStop boilerplate stop-shingles")
+    // using-column join moves "g" first — restore (doc_id, g) order, the
+    // positional contract the toDF("doc_a"/"doc_b", "g") renames rely on
+    grams.join(broadcast(stop), Seq("g"), "left_anti").select("doc_id", "g")
+  }
+
   // ---------------------------------------------------------------- dedup
 
   /** Exact deduplication: group by content hash, keep the smallest id —
@@ -47,10 +68,12 @@ object DocOps {
   /** N-gram Jaccard near-dup pairs: distinct word-3-gram shingles,
     * shingle-equality self-join, |∩| / (|A|+|B|-|∩|) ≥ threshold.
     * Scale path: the shingle join shuffles on the shingle value — high
-    * frequency shingles are the skew risk, handled by the distinct-per-doc
-    * projection (a shingle appears once per doc) + AQE skew splitting. */
-  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.22): DataFrame = {
-    val grams = withShingles(spark, dir)
+    * frequency shingles are the skew risk, bounded by the df cap (stop-
+    * shingle removal) on top of the distinct-per-doc projection + AQE
+    * skew splitting. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.22,
+                        dfCap: Int = 50): DataFrame = {
+    val grams = cappedShingles(spark, dir, dfCap)
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = grams.toDF("doc_a", "g")
       .join(grams.toDF("doc_b", "g"), Seq("g"))
@@ -72,10 +95,11 @@ object DocOps {
     * candidates, then verified with true Jaccard. md5 keeps the DuckDB
     * oracle bit-identical; the production scale path would swap in xxhash64
     * (same plan shape, one line). */
-  def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = 0.18): DataFrame = {
+  def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = 0.18,
+                      dfCap: Int = 50): DataFrame = {
     val k = 12
     val rowsPerBand = 3
-    val grams = withShingles(spark, dir)
+    val grams = cappedShingles(spark, dir, dfCap)
     // k hashes per shingle via posexplode of an inline array — one narrow
     // projection instead of a crossJoin with a range relation
     val hashes = grams
@@ -95,10 +119,17 @@ object DocOps {
       .join(bands.toDF("doc_b", "bkey"), Seq("bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    // verify candidates with true Jaccard
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = grams.toDF("doc_a", "g")
-      .join(grams.toDF("doc_b", "g"), Seq("g"))
+    // verify candidates with true Jaccard — computed ONLY over docs that
+    // appear in the candidate set: semi-join grams down first, otherwise
+    // the verification silently reintroduces the exact all-pairs shingle
+    // join the LSH bucketing exists to avoid
+    val candDocs = candidates.select(col("doc_a").as("doc_id"))
+      .unionByName(candidates.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val candGrams = grams.join(candDocs, Seq("doc_id"), "left_semi")
+    val sizes = candGrams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = candGrams.toDF("doc_a", "g")
+      .join(candGrams.toDF("doc_b", "g"), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
     candidates

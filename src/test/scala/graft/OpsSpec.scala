@@ -96,6 +96,24 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("shingle df cap drops boilerplate stop-shingles from near-dup joins") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dfcap").toString
+    // 20 docs sharing one boilerplate sentence, otherwise pairwise-unique:
+    // uncapped, the 4 shared shingles (df=20) alone push Jaccard to
+    // 4/(8+8-4)=0.33 and make 190 all-pairs join hits — the stop-shingle
+    // blowup. A df cap below 20 removes them and no pair survives.
+    val docs = (0 until 20).map { i =>
+      (i.toLong, s"shared boilerplate legal disclaimer sentence here unique$i token$i word$i extra$i",
+        "en", "s", 1)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val uncapped = DocOps.ngramJaccardPairs(spark, tmp, threshold = 0.2, dfCap = 1000).collect()
+    assert(uncapped.length === 190, "boilerplate must drive all 20*19/2 pairs uncapped")
+    val capped = DocOps.ngramJaccardPairs(spark, tmp, threshold = 0.2, dfCap = 5).collect()
+    assert(capped.isEmpty, s"df cap must drop boilerplate-only pairs, got ${capped.length}")
+  }
+
   test("exact dedup: every group keeps its minimum doc_id") {
     val d = DocOps.exactDedup(spark, dir)
     assert(d.count() > 0)

@@ -49,6 +49,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("d7 verification joins only candidate-doc shingles (no all-pairs grams join)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+    val plan = graft.ops.DocOps.minhashLshPairs(spark, dir).queryExecution.optimizedPlan
+    // every inner join whose keys include the shingle column must sit above
+    // the LeftSemi candidate-doc restriction on BOTH sides — an
+    // unrestricted grams⋈grams join would be the exact all-pairs join the
+    // LSH bucketing exists to avoid
+    def hasSemi(p: LogicalPlan): Boolean =
+      p.collectFirst { case j: Join if j.joinType == LeftSemi => j }.isDefined
+    val gramJoins = plan.collect {
+      case j: Join if j.joinType == Inner &&
+        j.condition.exists(_.references.exists(_.name == "g")) => j
+    }
+    assert(gramJoins.nonEmpty, "expected the Jaccard-verification shingle join")
+    gramJoins.foreach { j =>
+      assert(hasSemi(j.left) && hasSemi(j.right),
+        s"shingle join is not candidate-restricted:\n$j")
+    }
+  }
+
   test("mention detect direct path has no shuffle before the tagger") {
     val turns = graft.synth.TranscriptGen.generate(spark, 10).toDF
     val p = plan(graft.stages.MentionDetect.detect(spark, turns, dedupeTexts = false))
