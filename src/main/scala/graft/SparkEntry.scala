@@ -56,8 +56,11 @@ object SparkEntry {
     "d6_ngram_jaccard" -> ((s, d) => DocOps.ngramJaccardPairs(s, d)),
     "d7_minhash_lsh" -> ((s, d) => DocOps.minhashLshPairs(s, d)),
     "d8_simhash_pairs" -> ((s, d) => DocOps.simhashPairs(s, d)),
+    // d9 consumes d6's (oracle-expressible) Jaccard pairs so the full
+    // pairs→clusters path is DuckDB-checked (recursive CTE); the SimHash
+    // pair source remains covered by ComponentsSpec.
     "d9_dup_clusters" -> ((s, d) =>
-      graft.ops.Components.dupClusters(s, DocOps.simhashPairs(s, d, maxHamming = 8))),
+      graft.ops.Components.dupClusters(s, DocOps.ngramJaccardPairs(s, d))),
     // --- similarity search (embeddings) ---
     "e1_cosine_topk" -> ((s, d) => EmbedOps.cosineTopK(s, d)),
     "e2_cosine_neardup" -> ((s, d) => EmbedOps.cosineNearDupPairs(s, d)),
@@ -309,6 +312,33 @@ object SparkEntry {
         |WHERE CAST(coalesce(common, 0) AS DOUBLE) /
         |      CAST(sa.n + sb.n - coalesce(common, 0) AS DOUBLE) >= 0.18
         |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+    "d9_dup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g0 AS (SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS g
+        |  FROM t WHERE len(toks) >= 3),
+        |stop AS (SELECT g FROM g0 GROUP BY g HAVING count(*) > 50),
+        |g AS (SELECT * FROM g0 WHERE g NOT IN (SELECT g FROM stop)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |inter AS (SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, count(*) AS common
+        |  FROM g ga JOIN g gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b
+        |  FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        |  WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.22),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |walk(id, label) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON w.id = e.src),
+        |comp AS (SELECT id, min(label) AS representative FROM walk GROUP BY 1),
+        |csize AS (SELECT representative, count(*) AS cluster_size FROM comp GROUP BY 1)
+        |SELECT comp.id AS doc_id, comp.representative, csize.cluster_size
+        |FROM comp JOIN csize USING (representative)
+        |ORDER BY representative, doc_id""".stripMargin,
     "e1_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,

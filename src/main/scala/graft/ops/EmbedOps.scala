@@ -29,6 +29,34 @@ object EmbedOps {
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** dot(vec, literal constant vector) unrolled to a codegen'd sum of
+    * element_at terms — Catalyst higher-order-function lambdas are
+    * interpreted, so the hot bucketing/assignment projections use this
+    * instead of aggregate(zip_with(...)). */
+  private def litDot(vec: Column, comps: Array[Double]): Column =
+    comps.zipWithIndex.map { case (c, i) =>
+      element_at(vec, i + 1).cast("double") * lit(c)
+    }.reduce(_ + _)
+
+  /** splitmix64 — deterministic pseudo-random doubles in [-1, 1) for the
+    * LSH hyperplanes, computed ONCE on the driver (no per-row hashing, no
+    * RNG state; same planes on any cluster size). */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def planeComponents(table: Int, plane: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { d =>
+      (mix64(table * 1000003L + plane * 10007L + d) >>> 11) *
+        (2.0 / (1L << 53)) - 1.0
+    }
+
+  private def embeddingDim(e: DataFrame): Int =
+    e.select(size(col("embedding")).as("d")).head().getInt(0)
+
   /** Brute-force cosine top-k for a set of query vectors (default: the
     * first `nQueries` vec_ids). Output: (query_id, rank, neighbor_id,
     * cosine rounded to 6). */
@@ -75,33 +103,42 @@ object EmbedOps {
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 3,
               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val e = emb(spark, dir)
-    val centroids = e.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+    // The coarse quantizer is model state, driver-sized by definition
+    // (nlist vectors — production k-means would hand us the same array);
+    // baking it into the projection as literals makes cell assignment a
+    // shuffle-free, codegen'd map over the big side instead of the old
+    // crossJoin(broadcast)×nlist + groupBy/max_by (which shuffled every
+    // embedding once).
+    val cents: Array[(Int, Array[Double])] = e.filter(col("vec_id") < nlist)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (r.getLong(0).toInt, v.map(_ / n))
+      }.sortBy(_._1)
 
-    // nearest cell per vector: broadcast centroids, argmax via max_by
-    val assigned = e
-      .crossJoin(broadcast(centroids))
-      .withColumn("ccos", dot(col("embedding"), col("cv")) /
-        (norm(col("embedding")) * norm(col("cv"))))
-      .groupBy("vec_id")
-      .agg(expr("max_by(cell, ccos)").as("cell"),
-        first("embedding").as("embedding"))
+    // score per cell = dot(emb, cent/||cent||): same cell ORDER as cosine
+    // (the row's own norm is a positive common factor — never computed)
+    val cellScores = array(cents.map { case (cid, cv) =>
+      struct(litDot(col("embedding"), cv).as("s"), lit(cid).as("cell"))
+    }: _*)
 
-    // nprobe nearest cells per query vector
-    val wCell = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cell").asc)
+    // nearest cell per vector: one projection, struct-max (ties → max cell)
+    val assigned = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("nv"), array_max(cellScores).getField("cell").as("cell"))
+
+    // nprobe nearest cells per query: sort the literal score array desc,
+    // slice, explode — still projection-only, no window, no shuffle
+    val probedCells = slice(reverse(array_sort(cellScores)), 1, nprobe).getField("cell")
     val queryCells = e.filter(col("vec_id") < nQueries)
-      .crossJoin(broadcast(centroids))
-      .withColumn("ccos", dot(col("embedding"), col("cv")) /
-        (norm(col("embedding")) * norm(col("cv"))))
-      .withColumn("rk", row_number().over(wCell))
-      .filter(col("rk") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(probedCells).as("cell"))
 
+    // each query has nprobe distinct cells and each neighbor exactly one
+    // cell, so candidate pairs are unique — no dedupe stage needed
     val cands = queryCells
-      .join(assigned.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"), col("cell")), Seq("cell"))
+      .join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "nv").distinct()
       .withColumn("cosine", dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
@@ -122,32 +159,37 @@ object EmbedOps {
   def lshTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 3,
               nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
     val e = emb(spark, dir)
+    val dim = embeddingDim(e)
 
-    // deterministic hyperplane component for (table, plane, dim):
-    // a hash-derived value in [-1, 1) — computed inside Catalyst, no driver
-    // state, so the same buckets arise on every executor / cluster size.
-    def planeComponent(table: Int, plane: Int): Column =
-      expr(s"transform(sequence(0, size(embedding) - 1), " +
-        s"d -> cast(pmod(xxhash64(concat('$table:$plane:', d)), 2000001) as double) / 1000000.5 - 1.0)")
-
+    // hyperplanes are nTables×nPlanes literal arrays, computed once on the
+    // driver (splitmix64-seeded, reproducible on any cluster) — the old
+    // plan re-derived every component per ROW via an xxhash64 transform
     def bucketKey(table: Int): Column = {
       val signs = (0 until nPlanes).map { p =>
-        when(dot(col("embedding"), planeComponent(table, p)) >= 0, lit(1)).otherwise(lit(0))
-          .cast("string")
+        when(litDot(col("embedding"), planeComponents(table, p, dim)) >= 0, lit(1))
+          .otherwise(lit(0)).cast("string")
       }
       concat(lit(s"t$table:") +: signs: _*)
     }
 
+    // buckets carry (vec_id, bucket) ONLY — the bucket-key shuffle moves
+    // two scalar columns, never the embedding arrays
     val buckets = e.select(
-      col("vec_id"), col("embedding"),
-      explode(array((0 until nTables).map(bucketKey): _*)).as("bucket"))
+      col("vec_id"), explode(array((0 until nTables).map(bucketKey): _*)).as("bucket"))
 
     val queries = buckets.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
-    val cands = queries
-      .join(buckets.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"), col("bucket")), Seq("bucket"))
+      .select(col("vec_id").as("query_id"), col("bucket"))
+    // dedupe candidate PAIRS as bare ids, then join the vectors back:
+    // the old plan ran distinct() over rows carrying both full embeddings
+    val candIds = queries
+      .join(buckets.select(col("vec_id").as("neighbor_id"), col("bucket")), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "nv").distinct()
+      .select("query_id", "neighbor_id").distinct()
+    val qv = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cands = candIds
+      .join(broadcast(qv), Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")), Seq("neighbor_id"))
       .withColumn("cosine", dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
