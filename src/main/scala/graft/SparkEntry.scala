@@ -102,6 +102,16 @@ object SparkEntry {
       import org.apache.spark.sql.functions._
       MultimodalOps.sampleFrames(s, MultimodalOps.synthMedia(s, 500))
         .groupBy("media_id").agg(count(lit(1)).as("n_frames")).orderBy("media_id")
+    }),
+    "m4_media_validate" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      // deterministically corrupt two slices so the gate has rejects to count
+      val media = MultimodalOps.synthMedia(s, 500).toDF()
+        .withColumn("width",
+          when(pmod(col("media_id"), lit(23)) === 0, lit(0)).otherwise(col("width")))
+        .withColumn("duration_ms",
+          when(pmod(col("media_id"), lit(31)) === 0, lit(-5)).otherwise(col("duration_ms")))
+      MultimodalOps.mediaValidationStats(media)
     }))
 
   /** DuckDB-runnable oracles; table names resolve to parquet files in the

@@ -40,7 +40,8 @@ object DocOps {
     * the representation (sizes AND intersections — mirrored by the DuckDB
     * oracles). The stop set is tiny by Zipf construction, so the anti-join
     * broadcasts; the dropped count is printed, never silent. */
-  private def cappedShingles(spark: SparkSession, dir: String, dfCap: Int): DataFrame = {
+  private def cappedShingles(spark: SparkSession, dir: String, dfCap: Int,
+                             persist: Boolean): DataFrame = {
     val grams = withShingles(spark, dir)
     val stop = grams.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("g")
@@ -50,8 +51,17 @@ object DocOps {
       System.err.println(
         s"[graft] shingle df cap $dfCap dropped $nStop boilerplate stop-shingles")
     // using-column join moves "g" first — restore (doc_id, g) order, the
-    // positional contract the toDF("doc_a"/"doc_b", "g") renames rely on
-    grams.join(broadcast(stop), Seq("g"), "left_anti").select("doc_id", "g")
+    // positional contract the toDF("doc_a"/"doc_b", "g") renames rely on.
+    val capped = grams.join(broadcast(stop), Seq("g"), "left_anti").select("doc_id", "g")
+    // Persist only when the caller fans out over the FULL shingle set
+    // (d6: sizes + both intersection sides — re-tokenizing per branch costs
+    // more than materializing the 2-column projection; measured 2x faster).
+    // d7 passes false: its widest branch (12 minhashes per shingle) runs
+    // ~40% faster as straight-line codegen over the scan than through an
+    // InMemoryRelation's columnar->row boundary (measured), and its
+    // verify-side reuse is the small candGrams, persisted separately.
+    if (persist) capped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else capped
   }
 
   // ---------------------------------------------------------------- dedup
@@ -73,7 +83,7 @@ object DocOps {
     * skew splitting. */
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.22,
                         dfCap: Int = 50): DataFrame = {
-    val grams = cappedShingles(spark, dir, dfCap)
+    val grams = cappedShingles(spark, dir, dfCap, persist = true)
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = grams.toDF("doc_a", "g")
       .join(grams.toDF("doc_b", "g"), Seq("g"))
@@ -99,7 +109,7 @@ object DocOps {
                       dfCap: Int = 50): DataFrame = {
     val k = 12
     val rowsPerBand = 3
-    val grams = cappedShingles(spark, dir, dfCap)
+    val grams = cappedShingles(spark, dir, dfCap, persist = false)
     // k hashes per shingle via posexplode of an inline array — one narrow
     // projection instead of a crossJoin with a range relation
     val hashes = grams
@@ -115,10 +125,14 @@ object DocOps {
         min(when(col("slot") === 1, col("mh"))).as("m1"),
         min(when(col("slot") === 2, col("mh"))).as("m2"))
       .select(col("doc_id"), concat_ws("|", col("band"), col("m0"), col("m1"), col("m2")).as("bkey"))
+    // persisted: candidates feed BOTH the candidate-doc restriction and the
+    // final verification join — without it the md5-heavy signature pipeline
+    // upstream would execute once per reference
     val candidates = bands.toDF("doc_a", "bkey")
       .join(bands.toDF("doc_b", "bkey"), Seq("bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // verify candidates with true Jaccard — computed ONLY over docs that
     // appear in the candidate set: semi-join grams down first, otherwise
     // the verification silently reintroduces the exact all-pairs shingle
@@ -127,6 +141,7 @@ object DocOps {
       .unionByName(candidates.select(col("doc_b").as("doc_id")))
       .distinct()
     val candGrams = grams.join(candDocs, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = candGrams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = candGrams.toDF("doc_a", "g")
       .join(candGrams.toDF("doc_b", "g"), Seq("g"))

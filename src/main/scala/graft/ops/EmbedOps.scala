@@ -29,14 +29,14 @@ object EmbedOps {
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** dot(vec, literal constant vector) unrolled to a codegen'd sum of
-    * element_at terms — Catalyst higher-order-function lambdas are
-    * interpreted, so the hot bucketing/assignment projections use this
-    * instead of aggregate(zip_with(...)). */
+  /** dot(vec, literal constant vector): the constant side is a literal
+    * array (computed once on the driver), folded with the same zip_with +
+    * aggregate shape as `dot`. (An unrolled sum of 64 element_at terms was
+    * tried and measured ~3x SLOWER — with 32 dots per row the generated
+    * expression tree exceeds codegen/JIT limits and falls back to
+    * interpreted eval of a 2048-node tree.) */
   private def litDot(vec: Column, comps: Array[Double]): Column =
-    comps.zipWithIndex.map { case (c, i) =>
-      element_at(vec, i + 1).cast("double") * lit(c)
-    }.reduce(_ + _)
+    dot(vec, typedlit(comps.toSeq))
 
   /** splitmix64 — deterministic pseudo-random doubles in [-1, 1) for the
     * LSH hyperplanes, computed ONCE on the driver (no per-row hashing, no

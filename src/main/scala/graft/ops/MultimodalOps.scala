@@ -118,6 +118,49 @@ object MultimodalOps {
       .orderBy("media_a", "media_b")
   }
 
+  /** m4 — metadata validation: the pre-decode sanity gate a media pipeline
+    * runs BEFORE paying for codec work (invalid rows never reach the
+    * decoder). Pure codegen'd projection — no UDF, no shuffle, fully
+    * deterministic. Adds `reject_reason` (null = valid) and `valid`.
+    * Rules are per-kind: dimension bounds apply to visual kinds only,
+    * duration bounds to timed kinds, sample-rate whitelist to audio. */
+  def validateMedia(media: DataFrame,
+                    maxDim: Int = 16384,
+                    maxDurationMs: Int = 6 * 3600 * 1000,
+                    allowedRates: Seq[Int] =
+                      Seq(8000, 16000, 24000, 32000, 40000, 44100, 48000)): DataFrame = {
+    val visual = col("kind").isin("image", "video")
+    val timed = col("kind").isin("audio", "video")
+    val badDims = visual && (col("width") < 1 || col("height") < 1 ||
+      col("width") > maxDim || col("height") > maxDim)
+    val badDuration = timed && (col("duration_ms") < 1 || col("duration_ms") > maxDurationMs)
+    val badRate = (col("kind") === "audio") && !col("sample_rate").isin(allowedRates.map(Integer.valueOf): _*)
+    media
+      .withColumn("reject_reason",
+        when(badDims, "bad_dims")
+          .when(badDuration, "bad_duration")
+          .when(badRate, "bad_sample_rate")
+          .otherwise(lit(null).cast("string")))
+      .withColumn("valid", col("reject_reason").isNull)
+  }
+
+  /** Per-kind validation stats — the m4 query surface (two-level agg,
+    * partial map-side combine; one shuffle on the 3-value kind key). */
+  def mediaValidationStats(media: DataFrame): DataFrame =
+    validateMedia(media)
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"),
+        sum(when(col("reject_reason") === "bad_dims", 1L).otherwise(0L)).as("n_bad_dims"),
+        sum(when(col("reject_reason") === "bad_duration", 1L).otherwise(0L)).as("n_bad_duration"),
+        sum(when(col("reject_reason") === "bad_sample_rate", 1L).otherwise(0L)).as("n_bad_rate"),
+        min(when(col("valid"), col("duration_ms"))).as("min_valid_duration_ms"),
+        max(when(col("valid"), col("duration_ms"))).as("max_valid_duration_ms"),
+        max("width").as("max_width"),
+        max("height").as("max_height"))
+      .orderBy("kind")
+
   /** Video frame sampling stub: emits every `stride`-th fixed-size byte
     * window as a "frame" payload (real impl: codec keyframe extraction).
     * The exploded (media_id, frame_idx, frame_bytes) shape is the real

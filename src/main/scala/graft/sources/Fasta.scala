@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The reference's actual front door: a gzip-aware FASTA scan
+ * (seqenv/fasta/__init__.py:26-48 — SeqIO.parse over a gzip.open handle).
+ *
+ * Spark-first: the text source splits records on '>' via lineSep and
+ * decompresses `.gz` transparently through the Hadoop codec, so plain and
+ * gzipped FASTA read identically with no custom InputFormat. Each record
+ * row is then one header line + the wrapped sequence lines; a projection
+ * splits those apart. Gzipped inputs are non-splittable (one task per
+ * file) — at scale, FASTA arrives as many files, which is exactly the
+ * parallelism unit here.
+ *
+ * Output: (seq_id, description, sequence, seq_length) — seq_length feeds
+ * the P8 cutoff (generate.py:50-58) and `seq_id` is the conversation key
+ * the rest of the engine joins on.
+ */
+object Fasta {
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("lineSep", ">").text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(
+        regexp_extract(col("value"), "^(\\S+)", 1).as("seq_id"),
+        trim(regexp_extract(col("value"), "^\\S*[ \\t]*([^\\n]*)", 1)).as("description"),
+        regexp_replace(regexp_replace(col("value"), "^[^\\n]*\\n?", ""), "\\s+", "")
+          .as("sequence"))
+      .filter(col("seq_id") =!= "")
+      .withColumn("seq_length", length(col("sequence")))
+}

@@ -41,6 +41,36 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs === Set((17L, 68L), (34L, 85L)))
   }
 
+  test("metadata validation: per-kind rules, reject reasons, stats add up") {
+    val media = MultimodalOps.synthMedia(spark, 300).toDF()
+      .withColumn("width",
+        when(col("media_id") === 0, lit(0)).otherwise(col("width")))       // kind=image
+      .withColumn("duration_ms",
+        when(col("media_id") === 1, lit(-5)).otherwise(col("duration_ms"))) // kind=audio
+      .withColumn("sample_rate",
+        when(col("media_id") === 4, lit(12345)).otherwise(col("sample_rate"))) // kind=audio
+    val v = MultimodalOps.validateMedia(media)
+      .select("media_id", "kind", "reject_reason", "valid").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(v(0L) === Some("bad_dims"))          // image with width 0
+    assert(v(1L) === Some("bad_duration"))      // audio with duration -5
+    assert(v(4L) === Some("bad_sample_rate"))   // audio off-whitelist rate
+    assert(v(3L) === None)                      // untouched image stays valid
+    // dimension rule must NOT apply to audio, duration rule NOT to image
+    val audioWide = MultimodalOps.validateMedia(
+      media.filter(col("kind") === "audio").withColumn("width", lit(0)))
+      .filter(col("reject_reason") === "bad_dims").count()
+    assert(audioWide === 0L)
+
+    val stats = MultimodalOps.mediaValidationStats(media).collect()
+    assert(stats.map(_.getString(0)).toSeq === Seq("audio", "image", "video"))
+    stats.foreach { r =>
+      val (n, valid, bd, bdur, brate) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(n === valid + bd + bdur + brate, s"counts must partition for ${r.getString(0)}")
+    }
+  }
+
   test("video frame sampling emits strided fixed-size windows") {
     val media = MultimodalOps.synthMedia(spark, 30)
     val frames = MultimodalOps.sampleFrames(spark, media, frameSize = 32, stride = 2)

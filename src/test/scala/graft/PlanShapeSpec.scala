@@ -57,8 +57,14 @@ class PlanShapeSpec extends SparkSpec {
     // the LeftSemi candidate-doc restriction on BOTH sides — an
     // unrestricted grams⋈grams join would be the exact all-pairs join the
     // LSH bucketing exists to avoid
+    // the candidate-restricted shingle set is persisted, so the semi-join
+    // may sit inside an InMemoryRelation's cached physical plan
     def hasSemi(p: LogicalPlan): Boolean =
-      p.collectFirst { case j: Join if j.joinType == LeftSemi => j }.isDefined
+      p.collectFirst { case j: Join if j.joinType == LeftSemi => j }.isDefined ||
+        p.collectFirst {
+          case m: org.apache.spark.sql.execution.columnar.InMemoryRelation
+            if m.cachedPlan.toString.contains("LeftSemi") => m
+        }.isDefined
     val gramJoins = plan.collect {
       case j: Join if j.joinType == Inner &&
         j.condition.exists(_.references.exists(_.name == "g")) => j

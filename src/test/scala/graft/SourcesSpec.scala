@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
-import graft.sources.Outfmt6
+import graft.sources.{BioAdapter, Outfmt6}
 import graft.stages.Salting
 
 class SourcesSpec extends SparkSpec {
@@ -30,6 +30,58 @@ class SourcesSpec extends SparkSpec {
     // flag-gated P3: min_coverage 0.97 drops the 50%-coverage hit
     val hc = Outfmt6.hits(raw, minCoverage = Some(0.97)).collect()
     assert(hc.map(_.getAs[Long]("gi")).toSet === Set(111L))
+  }
+
+  test("FASTA scan: plain and gzipped read identically, wrapped seqs joined") {
+    val dir = Files.createTempDirectory("graft-fa").toString
+    val fasta = Seq(
+      ">C1 first sequence",
+      "ACGTACGTAC", "GTACGT",
+      ">C2", "TTTT",
+      ">C3 desc with  spaces", "ACGT", "ACGT", "ACGT").mkString("\n")
+    Files.writeString(Paths.get(s"$dir/in.fasta"), fasta)
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/in.fasta.gz"))
+    gz.write(fasta.getBytes("UTF-8")); gz.close()
+
+    val plain = graft.sources.Fasta.read(spark, s"$dir/in.fasta")
+      .orderBy("seq_id").collect()
+    assert(plain.map(_.getString(0)).toSeq === Seq("C1", "C2", "C3"))
+    assert(plain.map(_.getString(2)).toSeq === Seq("ACGTACGTACGTACGT", "TTTT", "ACGTACGTACGT"))
+    assert(plain.map(_.getInt(3)).toSeq === Seq(16, 4, 12))
+    assert(plain.head.getString(1) === "first sequence")
+
+    val gzipped = graft.sources.Fasta.read(spark, s"$dir/in.fasta.gz")
+      .orderBy("seq_id").collect()
+    assert(gzipped.map(_.toSeq).toSeq === plain.map(_.toSeq).toSeq)
+  }
+
+  test("FASTA front door end to end: fasta -> outfmt6 -> BioAdapter -> scores") {
+    import graft.stages.ScoreConfig
+    val dir = Files.createTempDirectory("graft-fae2e").toString
+    Files.writeString(Paths.get(s"$dir/seqs.fasta"),
+      Seq(">C1", "ACGTACGT", ">C2", "TTTTCCCC", ">LONG1", "A" * 5000).mkString("\n"))
+    Files.writeString(Paths.get(s"$dir/hits.tsv"), Seq(
+      "C1\tgi|111|ref|A\t99.0\t100\t0\t0\t1\t100\t1\t100\t1e-30\t500\t98.0\t1",
+      "C2\tgi|333|ref|C\t99.0\t100\t0\t0\t1\t100\t1\t100\t1e-30\t500\t98.0\t1",
+      "LONG1\tgi|111|ref|A\t99.0\t100\t0\t0\t1\t100\t1\t100\t1e-30\t500\t98.0\t1"
+    ).mkString("\n"))
+    // P8 at the front door: sequences >= 4000 bases never enter the flow
+    // (generate.py:50-58 applies the same cutoff when generating GIs)
+    val seqs = graft.sources.Fasta.read(spark, s"$dir/seqs.fasta")
+      .filter(col("seq_length") < 4000)
+    val hits = Outfmt6.hits(Outfmt6.read(spark, s"$dir/hits.tsv"))
+      .join(seqs.select(col("seq_id").as("qseqid")), Seq("qseqid"), "left_semi")
+    val giDim = Seq((111L, 1L, Option(9001L)), (333L, 2L, Option(9002L)))
+      .toDF("gi", "isokey", "pubmed")
+    val isolationDim = Seq((1L, "Everglades wetlands"), (2L, "lake water"))
+      .toDF("isokey", "source")
+    val turns = BioAdapter.turnsFromHits(spark, hits, giDim, isolationDim)
+    val scores = new KgPipeline(spark, PipelineConfig(score = ScoreConfig("flat")))
+      .run(turns).scores.collect()
+    val convs = scores.map(_.getString(0)).toSet
+    assert(convs === Set("C1", "C2"), "LONG1 must be P8-filtered before scoring")
+    assert(scores.nonEmpty)
   }
 
   test("keepFirstByAgg equals window keep-first semantics") {
