@@ -60,10 +60,28 @@ final class KgPipeline(spark: SparkSession, cfg: PipelineConfig = PipelineConfig
 
   val dict: EnvoDict = KgPipeline.sharedDict
 
+  /** md5 of the analyzed input lineage + every config knob that changes
+    * stage output — recorded in checkpoint manifests so resuming a dir
+    * against a different input/config fails loudly (Checkpoint.stage).
+    * Lineage-based (no scan of the input): file sources carry their paths
+    * in the plan; in-memory LocalRelations hide their rows from the plan
+    * string, so their row data is hashed explicitly. */
+  private def fingerprint(turns: DataFrame): Option[String] =
+    cfg.checkpointDir.map { _ =>
+      val planKey = turns.queryExecution.analyzed.canonicalized.collect {
+        case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          s"LocalRelation(${lr.schema.catalogString},rows=${lr.data.hashCode})"
+        case node => node.simpleString(200)
+      }.mkString("\n")
+      val key = s"$planKey|${cfg.score}|${cfg.evidenceCap}|${cfg.dedupeTexts}"
+      java.util.UUID.nameUUIDFromBytes(key.getBytes("UTF-8")).toString
+    }
+
   def run(turns: DataFrame): KgResult = {
     val ckpt = cfg.checkpointDir
+    val fp = fingerprint(turns)
 
-    val turnMentions0 = Checkpoint.stage(spark, ckpt, "mentions") {
+    val turnMentions0 = Checkpoint.stage(spark, ckpt, "mentions", fp) {
       MentionDetect.detect(spark, turns, cfg.dedupeTexts)
     }
     // the hot intermediate is the FLAT envo-occurrence projection — all
@@ -78,7 +96,7 @@ final class KgPipeline(spark: SparkSession, cfg: PipelineConfig = PipelineConfig
       else envoRows0
     val mentionRows = MentionDetect.explodeMentions(turnMentions0)
 
-    val scores0 = Checkpoint.stage(spark, ckpt, "scores") {
+    val scores0 = Checkpoint.stage(spark, ckpt, "scores", fp) {
       LinkScore.score(spark, envoRows, dict, cfg.score)
     }
     val scores =
@@ -86,11 +104,11 @@ final class KgPipeline(spark: SparkSession, cfg: PipelineConfig = PipelineConfig
         scores0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else scores0
 
-    val annotated = Checkpoint.stage(spark, ckpt, "annotated") {
+    val annotated = Checkpoint.stage(spark, ckpt, "annotated", fp) {
       TripleEmit.annotatedWith(spark, scores, envoRows, dict, cfg.evidenceCap)
     }
     val mentionTriples = TripleEmit.mentionTriples(spark, envoRows, dict)
-    val cooc = Checkpoint.stage(spark, ckpt, "cooccurrence") {
+    val cooc = Checkpoint.stage(spark, ckpt, "cooccurrence", fp) {
       TripleEmit.coOccurrence(scores)
     }
 

@@ -30,12 +30,17 @@ object BioAdapter {
     * isolationDim(isokey, source) -> transcript-shaped turns.
     * GIs absent from giDim drop out (the reference's `gi in db` predicate,
     * analysis.py:333-336); hit order becomes turn order, so upui's
-    * keep-first matches the reference's dict-insertion-order "first". */
+    * keep-first matches the reference's dict-insertion-order "first".
+    *
+    * No broadcast hints: the real NT-derived GI dim is multi-GB (hundreds
+    * of millions of GIs), so forcing a broadcast would OOM the driver at
+    * exactly the scale this module exists for — AQE broadcasts either dim
+    * when its measured size is actually small (as in fixtures/tests). */
   def turnsFromHits(spark: SparkSession, hits: DataFrame,
                     giDim: DataFrame, isolationDim: DataFrame): DataFrame =
     hits
-      .join(broadcast(giDim), "gi")
-      .join(broadcast(isolationDim), "isokey")
+      .join(giDim, "gi")
+      .join(isolationDim, "isokey")
       .select(
         col("qseqid").as("conv_id"),
         col("hit_pos").cast("int").as("turn_idx"),

@@ -44,8 +44,14 @@ object Outfmt6 {
       .csv(path)
 
   /** P2 + (optionally) P3 applied as pushed-down predicates, then P4:
-    * (qseqid, gi, hit_pos) in hit order — the reference's seq_to_gis rows
-    * (order- and duplicate-preserving, seqenv/analysis.py:272-294). */
+    * (qseqid, gi, hit_pos) — the reference's seq_to_gis rows (duplicate-
+    * preserving, seqenv/analysis.py:272-294). `hit_pos` is a DETERMINIZED
+    * STAND-IN for the reference's file order: BLAST emits hits sorted by
+    * (evalue asc, bitscore desc) per query, so this ordering reproduces it
+    * for tool-produced files, but a hand-reordered file would differ —
+    * upui's keep-first could then pick a different (equally valid)
+    * representative. Exact byte-order parity would need a line index from
+    * the scan, which Spark's csv source does not expose per-file. */
   def hits(df: DataFrame,
            maxEvalue: Double = 1e-4,
            minIdentityPct: Double = 97.0,

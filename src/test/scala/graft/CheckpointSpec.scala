@@ -40,16 +40,28 @@ class CheckpointSpec extends SparkSpec {
     assert(manifest.contains(s"\"rows\":$rows,"))
   }
 
-  test("committed stage is read back, not recomputed (content-stable)") {
+  test("committed stage resumes for the same input/config; stale resume fails loudly") {
     val turns = (0L until 20L).flatMap(i => TranscriptGen.turnsFor(i, 3L, 5, 5)).toDS.toDF
     val dir = Files.createTempDirectory("graft-ckpt2").toString
     val cfgd = PipelineConfig(checkpointDir = Some(dir))
     val r1 = new KgPipeline(spark, cfgd).run(turns)
     val n1 = r1.scores.count()
-    // poison: a second run with DIFFERENT input but same checkpoint dir must
-    // return the committed stage output (proof it reads, not recomputes)
+
+    // same input + config: committed stage is read back (content-stable)
+    assert(new KgPipeline(spark, cfgd).run(turns).scores.count() === n1)
+
+    // DIFFERENT input, same dir: the manifest fingerprint mismatches and
+    // the run must fail loudly instead of silently serving stale output
     val other = (100L until 105L).flatMap(i => TranscriptGen.turnsFor(i, 3L, 5, 5)).toDS.toDF
-    val r2 = new KgPipeline(spark, cfgd).run(other)
-    assert(r2.scores.count() === n1)
+    val exInput = intercept[IllegalStateException] {
+      new KgPipeline(spark, cfgd).run(other).scores.count()
+    }
+    assert(exInput.getMessage.contains("fingerprint"))
+
+    // DIFFERENT score config, same dir: same loud failure
+    val cfgUi = cfgd.copy(score = graft.stages.ScoreConfig("ui"))
+    intercept[IllegalStateException] {
+      new KgPipeline(spark, cfgUi).run(turns).scores.count()
+    }
   }
 }
