@@ -67,11 +67,13 @@ object Bench {
 
   /** Measured raw scaling efficiency of a (low, high) thread span right
     * now — host steal drifts minute-to-minute, so the span to benchmark on
-    * is chosen by current measurement, not by a hardcoded pick. */
+    * is chosen by current measurement, not by a hardcoded pick. Best-of-2
+    * per thread count (steal only ever slows a probe down) and clamped to
+    * 1.0 (super-unitary ratios are probe noise, not real scaling). */
   private def spanCeiling(lo: Int, hi: Int, texts: Array[String]): Double = {
-    val rl = rawCpuProbe(lo, texts)
-    val rh = rawCpuProbe(hi, texts)
-    (rh / rl) / (hi.toDouble / lo)
+    val rl = math.max(rawCpuProbe(lo, texts), rawCpuProbe(lo, texts))
+    val rh = math.max(rawCpuProbe(hi, texts), rawCpuProbe(hi, texts))
+    math.min(1.0, (rh / rl) / (hi.toDouble / lo))
   }
 
   private def kgRun(cores: Int, turnsPath: String, iters: Int = 2): (Long, Long, Double) = {
