@@ -39,6 +39,7 @@ object SparkEntry {
     "j5_anti_join" -> ((s, d) => RelationalOps.antiJoin(s, d)),
     "j6_matmul_join_agg" -> ((s, d) => RelationalOps.matmulJoinAgg(s, d)),
     "j_star_join" -> ((s, d) => RelationalOps.starJoin(s, d)),
+    "p1_rename_projection" -> ((s, d) => RelationalOps.renameProjection(s, d)),
     "p2_filter_pushdown" -> ((s, d) => RelationalOps.filterPushdown(s, d)),
     "w_topk_per_group" -> ((s, d) => RelationalOps.topKPerGroup(s, d)),
     "w_sessionize" -> ((s, d) => RelationalOps.sessionize(s, d)),
@@ -175,6 +176,9 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p1_rename_projection" ->
+      """SELECT doc_id, 'C' || CAST(row_number() OVER (ORDER BY doc_id) - 1 AS VARCHAR) AS alias
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "p2_filter_pushdown" ->
       """SELECT l_returnflag, count(*) AS n_rows, sum(l_quantity) AS sum_qty
         |FROM lineitem WHERE l_quantity >= 30 AND l_discount <= 0.05

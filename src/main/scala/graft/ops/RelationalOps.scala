@@ -72,6 +72,24 @@ object RelationalOps {
       .orderBy(col("revenue").desc, col("o_custkey").asc)
       .limit(10)
 
+  /** P1 rename projection (seqenv/analysis.py:171-191): every key aliased
+    * to "C%i" (0-based, the reference's enumerate order) over a stable sort
+    * — distributed sort + zipWithIndex, no single-partition window. The
+    * output IS the inverse map (key ↔ alias both present), matching the
+    * reference's orig_names_to_renamed / renamed_to_orig dict pair. */
+  def renameKeys(spark: SparkSession, keys: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StringType
+    val ordered = keys.select(keyCol).distinct().orderBy(keyCol)
+    val schema = ordered.schema.add("alias", StringType, nullable = false)
+    spark.createDataFrame(
+      ordered.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ s"C$i") },
+      schema)
+  }
+
+  def renameProjection(spark: SparkSession, dir: String): DataFrame =
+    renameKeys(spark, t(spark, dir, "documents"), "doc_id").orderBy("doc_id")
+
   /** P5/J5 semi join — customers having orders (EXISTS). */
   def semiJoin(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "customer")

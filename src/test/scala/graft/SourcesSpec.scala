@@ -84,6 +84,13 @@ class SourcesSpec extends SparkSpec {
     assert(scores.nonEmpty)
   }
 
+  test("P1 rename projection: C0-based aliases in stable order (reference enumerate)") {
+    val keys = Seq("OTU_5", "OTU_1", "OTU_3", "OTU_1").toDF("seq_id")
+    val m = graft.ops.RelationalOps.renameKeys(spark, keys, "seq_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m === Map("OTU_1" -> "C0", "OTU_3" -> "C1", "OTU_5" -> "C2"))
+  }
+
   test("keepFirstByAgg equals window keep-first semantics") {
     val df = Seq(
       ("c1", 100L, 3, "x"), ("c1", 100L, 1, "y"), ("c1", 100L, 2, "z"),
