@@ -42,7 +42,13 @@ object DocOps {
     * broadcasts; the dropped count is printed, never silent. */
   private def cappedShingles(spark: SparkSession, dir: String, dfCap: Int,
                              persist: Boolean): DataFrame = {
-    val grams = withShingles(spark, dir)
+    // persist the PRE-cap shingles: both the stop-agg and the anti-join
+    // consume them, so one tokenization pass instead of two — and d6's
+    // downstream branches read the same cache
+    val grams0 = withShingles(spark, dir)
+    val grams = if (persist)
+      grams0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else grams0
     val stop = grams.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("g")
       .persist()
@@ -52,16 +58,12 @@ object DocOps {
         s"[graft] shingle df cap $dfCap dropped $nStop boilerplate stop-shingles")
     // using-column join moves "g" first — restore (doc_id, g) order, the
     // positional contract the toDF("doc_a"/"doc_b", "g") renames rely on.
-    val capped = grams.join(broadcast(stop), Seq("g"), "left_anti").select("doc_id", "g")
-    // Persist only when the caller fans out over the FULL shingle set
-    // (d6: sizes + both intersection sides — re-tokenizing per branch costs
-    // more than materializing the 2-column projection; measured 2x faster).
-    // d7 passes false: its widest branch (12 minhashes per shingle) runs
-    // ~40% faster as straight-line codegen over the scan than through an
-    // InMemoryRelation's columnar->row boundary (measured), and its
-    // verify-side reuse is the small candGrams, persisted separately.
-    if (persist) capped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else capped
+    // d7 passes persist=false: its widest branch (12 minhashes per
+    // shingle) runs ~40% faster as straight-line codegen over the scan
+    // than through an InMemoryRelation's columnar->row boundary
+    // (measured), and its verify-side reuse is the small candGrams,
+    // persisted separately.
+    grams.join(broadcast(stop), Seq("g"), "left_anti").select("doc_id", "g")
   }
 
   // ---------------------------------------------------------------- dedup
