@@ -19,6 +19,13 @@ import graft.synth.TranscriptGen
  *     [--abundances wide.tsv] [--N 100] [--num_threads 8]
  *     [--checkpoint_dir DIR]
  *
+ * OR the literal seqenv front door (`seqenv input.fasta` post-search),
+ * one command from the reference's own inputs to the full output set:
+ *
+ *   GraftCli --fasta seqs.fasta[.gz] --blastout hits.outfmt6
+ *     --gi_dims <BuildDims out_dir> --out_dir DIR
+ *     [--length_cutoff 4000] [+ the same flags as above]
+ *
  * Outputs (the reference's output inventory, README.md:124-138, minus the
  * graphviz renders which SURVEY §2 S11 scopes out):
  *   conv_to_concepts.tsv   concept×conv score matrix  (seq_to_concepts.tsv)
@@ -36,10 +43,12 @@ object GraftCli {
 
   def main(args: Array[String]): Unit = {
     val a = parseArgs(args)
-    require(a.contains("input") && a.contains("out_dir"),
-      "usage: GraftCli --input <parquet|synth:N> --out_dir DIR [--normalization flat|ui|upui] " +
+    require((a.contains("input") || a.contains("fasta")) && a.contains("out_dir"),
+      "usage: GraftCli (--input <parquet|synth:N> | --fasta seqs.fasta --blastout hits.tsv " +
+        "--gi_dims DIR) --out_dir DIR [--normalization flat|ui|upui] " +
         "[--proportional bool] [--backtracking bool] [--restrict CURIE] " +
-        "[--abundances wide.tsv] [--N n] [--num_threads n] [--checkpoint_dir DIR]")
+        "[--abundances wide.tsv] [--N n] [--num_threads n] [--checkpoint_dir DIR] " +
+        "[--length_cutoff 4000]")
     val outDir = a("out_dir")
     val restrict = a.get("restrict").map { curie =>
       val id = EnvoDict.curieToInt(curie).getOrElse(
@@ -59,10 +68,22 @@ object GraftCli {
       persistIntermediates = true)
 
     val spark = Sessions.local(a.getOrElse("num_threads", "8").toInt, appName = "graft-cli")
-    val turnsAll = a("input") match {
-      case s if s.startsWith("synth:") =>
+    val turnsAll = a.get("input") match {
+      case Some(s) if s.startsWith("synth:") =>
         TranscriptGen.generate(spark, s.drop(6).toLong).toDF
-      case path => spark.read.parquet(path)
+      case Some(path) => spark.read.parquet(path)
+      case None =>
+        // seqenv front door: FASTA (P8 cutoff) + outfmt-6 + BuildDims dims
+        require(a.contains("blastout") && a.contains("gi_dims"),
+          "--fasta mode needs --blastout and --gi_dims (a BuildDims out_dir)")
+        val seqs = graft.sources.Fasta.read(spark, a("fasta"))
+          .filter(col("seq_length") < a.getOrElse("length_cutoff", "4000").toInt)
+        val hits = graft.sources.Outfmt6.hits(
+            graft.sources.Outfmt6.read(spark, a("blastout")))
+          .join(seqs.select(col("seq_id").as("qseqid")), Seq("qseqid"), "left_semi")
+        graft.sources.BioAdapter.turnsFromHits(spark, hits,
+          spark.read.parquet(s"${a("gi_dims")}/gi"),
+          spark.read.parquet(s"${a("gi_dims")}/isolation").select("isokey", "source"))
     }
 
     // --abundances + --N: restrict to the top-N conversations by abundance
