@@ -115,6 +115,18 @@ object SparkEntry {
       MultimodalOps.mediaValidationStats(media)
     }))
 
+  /** The e3 LSH hyperplanes as DuckDB VALUES rows — the SAME splitmix64
+    * components `EmbedOps.lshTopK` bakes into its projection, printed with
+    * `%.17E` (always-exponent form parses as DOUBLE in DuckDB, 18
+    * significant digits guarantee bit-exact round-trip). Embedding dim is
+    * 64 in every driver sfDir. */
+  private def lshPlaneValues(nTables: Int = 8, nPlanes: Int = 4, dim: Int = 64): String =
+    (for (t <- 0 until nTables; p <- 0 until nPlanes) yield {
+      val comps = graft.ops.EmbedOps.planeComponents(t, p, dim)
+        .map(d => "%.17E".formatLocal(java.util.Locale.ROOT, d)).mkString(", ")
+      s"  ($t, $p, [$comps])"
+    }).mkString(",\n")
+
   /** DuckDB-runnable oracles; table names resolve to parquet files in the
     * same sfDir (driver substitutes paths). Column names/aliases match the
     * Spark side exactly (driver sorts columns by name before hashing). */
@@ -378,5 +390,86 @@ object SparkEntry {
         |                  for i in range(1, len(b.embedding) + 1)], 'sum'))) AS cosine
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, round(cosine, 6) AS cosine FROM p
-        |WHERE cosine >= 0.38 ORDER BY vec_a, vec_b""".stripMargin)
+        |WHERE cosine >= 0.38 ORDER BY vec_a, vec_b""".stripMargin,
+    "d8_simhash_pairs" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |w AS (SELECT doc_id, tok, count(*) AS w,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok),
+        |bits AS (SELECT doc_id, bit,
+        |    sum(CASE WHEN ((h >> bit) & 1) = 1 THEN w ELSE -w END) AS s
+        |  FROM w, range(0, 60) r(bit) GROUP BY 1, 2),
+        |sh AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY 1),
+        |ck AS (SELECT doc_id, simhash,
+        |    CAST(chunk AS VARCHAR) || ':' ||
+        |    CAST((simhash >> CAST(chunk * 15 AS INT)) & 32767 AS VARCHAR) AS ckey
+        |  FROM sh, range(0, 4) c(chunk)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.simhash AS sh_a, b.simhash AS sh_b
+        |  FROM ck a JOIN ck b ON a.ckey = b.ckey AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+        |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 12
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "e3_lsh_topk" ->
+      s"""WITH planes(tbl, plane, comps) AS (VALUES
+         |${lshPlaneValues()}),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |sgn AS (SELECT e.vec_id, p.tbl, p.plane,
+         |  CASE WHEN list_aggregate([CAST(e.embedding[i] AS DOUBLE) * p.comps[i]
+         |                            for i in range(1, len(e.embedding) + 1)], 'sum') >= 0
+         |       THEN '1' ELSE '0' END AS s
+         |  FROM e, planes p),
+         |b AS (SELECT vec_id,
+         |    't' || CAST(tbl AS VARCHAR) || ':' || string_agg(s, '' ORDER BY plane) AS bucket
+         |  FROM sgn GROUP BY vec_id, tbl),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+         |  FROM b q JOIN b n ON q.bucket = n.bucket AND q.vec_id < 3 AND q.vec_id <> n.vec_id),
+         |sc AS (SELECT c.query_id, c.neighbor_id,
+         |  list_aggregate([CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)
+         |                  for i in range(1, len(q.embedding) + 1)], 'sum') /
+         |  (sqrt(list_aggregate([CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)
+         |                  for i in range(1, len(q.embedding) + 1)], 'sum')) *
+         |   sqrt(list_aggregate([CAST(n.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)
+         |                  for i in range(1, len(n.embedding) + 1)], 'sum'))) AS cosine
+         |  FROM cand c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.neighbor_id)
+         |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sc)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "e4_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |c AS (SELECT vec_id AS cell,
+        |  [CAST(embedding[i] AS DOUBLE) /
+        |   sqrt(list_aggregate([CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)
+        |                        for j in range(1, len(embedding) + 1)], 'sum'))
+        |   for i in range(1, len(embedding) + 1)] AS cv
+        |  FROM e WHERE vec_id < 16),
+        |sc AS (SELECT e.vec_id, c.cell,
+        |  list_aggregate([CAST(e.embedding[i] AS DOUBLE) * c.cv[i]
+        |                  for i in range(1, len(e.embedding) + 1)], 'sum') AS s
+        |  FROM e, c),
+        |assigned AS (SELECT vec_id AS neighbor_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY s DESC, cell DESC) AS rn FROM sc) WHERE rn = 1),
+        |probe AS (SELECT vec_id AS query_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY s DESC, cell DESC) AS rn FROM sc WHERE vec_id < 3) WHERE rn <= 4),
+        |cand AS (SELECT p.query_id, a.neighbor_id
+        |  FROM probe p JOIN assigned a USING (cell) WHERE p.query_id <> a.neighbor_id),
+        |co AS (SELECT c.query_id, c.neighbor_id,
+        |  list_aggregate([CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)
+        |                  for i in range(1, len(q.embedding) + 1)], 'sum') /
+        |  (sqrt(list_aggregate([CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)
+        |                  for i in range(1, len(q.embedding) + 1)], 'sum')) *
+        |   sqrt(list_aggregate([CAST(n.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)
+        |                  for i in range(1, len(n.embedding) + 1)], 'sum'))) AS cosine
+        |  FROM cand c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.neighbor_id)
+        |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM co)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
 }

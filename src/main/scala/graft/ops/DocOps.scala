@@ -161,18 +161,22 @@ object DocOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash near-dup detection (scale path, no SQL oracle): 64-bit simhash
-    * from xxhash64 over tokens, banded into 4×16-bit chunks for candidate
-    * generation, verified by Hamming distance. One narrow projection + one
-    * equality join — no quadratic stage. */
+  /** SimHash near-dup detection (scale path): 60-bit simhash over tokens,
+    * banded into 4×15-bit chunks for candidate generation, verified by
+    * Hamming distance. One narrow projection + one equality join — no
+    * quadratic stage. The token hash is the top 60 bits of md5 (15 hex
+    * chars → always a non-negative bigint), so the DuckDB oracle computes
+    * the identical signature; the production scale path would swap in
+    * xxhash64 (same plan shape, one line). */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 12): DataFrame = {
     val hashed = docs(spark, dir)
       .withColumn("tok", explode(toks))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h",
+        expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
     // sum ±w per bit, then sign -> bit
     val bits = hashed.select(col("doc_id"), col("w"), col("h"),
-        explode(expr("sequence(0, 63)")).as("bit"))
+        explode(expr("sequence(0, 59)")).as("bit"))
       .withColumn("contrib",
         when(expr("(h >> bit) & 1") === 1, col("w")).otherwise(-col("w")))
       .groupBy("doc_id", "bit").agg(sum("contrib").as("s"))
@@ -182,7 +186,7 @@ object DocOps {
     val chunks = bits.select(col("doc_id"), col("simhash"),
         explode(expr("sequence(0, 3)")).as("chunk"))
       .withColumn("ckey", concat_ws(":", col("chunk"),
-        expr("(simhash >> (chunk * 16)) & 65535")))
+        expr("(simhash >> (chunk * 15)) & 32767")))
     val cand = chunks.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("ckey"))
       .join(chunks.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("ckey")), Seq("ckey"))
       .filter(col("doc_a") < col("doc_b"))

@@ -48,7 +48,9 @@ object EmbedOps {
     z ^ (z >>> 31)
   }
 
-  private def planeComponents(table: Int, plane: Int, dim: Int): Array[Double] =
+  /** package-visible: SparkEntry embeds these exact components as literal
+    * arrays in the e3 DuckDB oracle */
+  private[graft] def planeComponents(table: Int, plane: Int, dim: Int): Array[Double] =
     Array.tabulate(dim) { d =>
       (mix64(table * 1000003L + plane * 10007L + d) >>> 11) *
         (2.0 / (1L << 53)) - 1.0

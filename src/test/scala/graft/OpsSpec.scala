@@ -9,21 +9,23 @@ import graft.ops.{DocOps, EmbedOps}
 class OpsSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
-  /** Independent simhash: same spec (xxhash64 of token, weight = count,
-    * sign per bit), implemented via Spark's xxhash64 on a 1-row frame to
-    * reuse the exact hash function without sharing the op's plan. */
+  /** Independent simhash: same spec (60-bit md5-prefix token hash, weight =
+    * count, sign per bit), implemented with JDK MessageDigest — no Spark
+    * functions shared with the op under test. */
   private def simhashOf(text: String): Long = {
-    import spark.implicits._
+    def hash60(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
     val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
     val counts = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
-    val hashes = counts.keys.toSeq.toDF("tok")
-      .select(col("tok"), xxhash64(col("tok")).as("h"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     var sig = 0L
-    for (bit <- 0 until 64) {
+    for (bit <- 0 until 60) {
       var s = 0L
       for ((tok, w) <- counts) {
-        val h = hashes(tok)
+        val h = hash60(tok)
         s += (if (((h >> bit) & 1L) == 1L) w else -w)
       }
       if (s > 0) sig |= (1L << bit)
