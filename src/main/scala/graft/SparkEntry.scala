@@ -57,6 +57,7 @@ object SparkEntry {
     "d6_ngram_jaccard" -> ((s, d) => DocOps.ngramJaccardPairs(s, d)),
     "d7_minhash_lsh" -> ((s, d) => DocOps.minhashLshPairs(s, d)),
     "d8_simhash_pairs" -> ((s, d) => DocOps.simhashPairs(s, d)),
+    "d10_boilerplate_ngrams" -> ((s, d) => DocOps.boilerplateNgrams(s, d)),
     // d9 consumes d6's (oracle-expressible) Jaccard pairs so the full
     // pairs→clusters path is DuckDB-checked (recursive CTE); the SimHash
     // pair source remains covered by ComponentsSpec.
@@ -365,6 +366,15 @@ object SparkEntry {
         |SELECT comp.id AS doc_id, comp.representative, csize.cluster_size
         |FROM comp JOIN csize USING (representative)
         |ORDER BY representative, doc_id""".stripMargin,
+    "d10_boilerplate_ngrams" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS g
+        |  FROM t WHERE len(toks) >= 3)
+        |SELECT g, count(*) AS df FROM g GROUP BY 1
+        |ORDER BY df DESC, g ASC LIMIT 20""".stripMargin,
     "e1_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,

@@ -127,9 +127,12 @@ object DocOps {
         min(when(col("slot") === 1, col("mh"))).as("m1"),
         min(when(col("slot") === 2, col("mh"))).as("m2"))
       .select(col("doc_id"), concat_ws("|", col("band"), col("m0"), col("m1"), col("m2")).as("bkey"))
+      // persisted: the band self-join below consumes bands TWICE — without
+      // this the whole tokenize→12×md5→minhash pipeline executes once per
+      // side (measured 2x the md5 work at sf0.1). Tiny: 4 rows per doc.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // persisted: candidates feed BOTH the candidate-doc restriction and the
-    // final verification join — without it the md5-heavy signature pipeline
-    // upstream would execute once per reference
+    // final verification join
     val candidates = bands.toDF("doc_a", "bkey")
       .join(bands.toDF("doc_b", "bkey"), Seq("bkey"))
       .filter(col("doc_a") < col("doc_b"))
@@ -197,6 +200,16 @@ object DocOps {
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Boilerplate detector: the document-frequency-ranked shingle table
+    * behind the d6/d7 stop-shingle cap, as a first-class query — the
+    * corpus-curation report a training pipeline reviews when tuning the
+    * cap. Two-level agg (map-side partial), deterministic tie order. */
+  def boilerplateNgrams(spark: SparkSession, dir: String, topN: Int = 20): DataFrame =
+    withShingles(spark, dir)
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("g").asc)
+      .limit(topN)
 
   // ------------------------------------------------------------- analysis
 
