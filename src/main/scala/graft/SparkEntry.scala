@@ -68,6 +68,7 @@ object SparkEntry {
     "e2_cosine_neardup" -> ((s, d) => EmbedOps.cosineNearDupPairs(s, d)),
     "e3_lsh_topk" -> ((s, d) => EmbedOps.lshTopK(s, d)),
     "e4_ivf_topk" -> ((s, d) => EmbedOps.ivfTopK(s, d)),
+    "e5_lsh_neardup" -> ((s, d) => EmbedOps.lshNearDupPairs(s, d)),
     // --- KG pipeline (rows-only for the driver; oracled by ScalaTest).
     //     persistIntermediates: the triple queries consume the tagger
     //     output through several plan branches — cache it once. ---
@@ -450,6 +451,30 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sc)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "e5_lsh_neardup" ->
+      s"""WITH planes(tbl, plane, comps) AS (VALUES
+         |${lshPlaneValues()}),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |sgn AS (SELECT e.vec_id, p.tbl, p.plane,
+         |  CASE WHEN list_aggregate([CAST(e.embedding[i] AS DOUBLE) * p.comps[i]
+         |                            for i in range(1, len(e.embedding) + 1)], 'sum') >= 0
+         |       THEN '1' ELSE '0' END AS s
+         |  FROM e, planes p),
+         |b AS (SELECT vec_id,
+         |    't' || CAST(tbl AS VARCHAR) || ':' || string_agg(s, '' ORDER BY plane) AS bucket
+         |  FROM sgn GROUP BY vec_id, tbl),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+         |p AS (SELECT c.vec_a, c.vec_b,
+         |  list_aggregate([CAST(va.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE)
+         |                  for i in range(1, len(va.embedding) + 1)], 'sum') /
+         |  (sqrt(list_aggregate([CAST(va.embedding[i] AS DOUBLE) * CAST(va.embedding[i] AS DOUBLE)
+         |                  for i in range(1, len(va.embedding) + 1)], 'sum')) *
+         |   sqrt(list_aggregate([CAST(vb.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE)
+         |                  for i in range(1, len(vb.embedding) + 1)], 'sum'))) AS cosine
+         |  FROM cand c JOIN e va ON va.vec_id = c.vec_a JOIN e vb ON vb.vec_id = c.vec_b)
+         |SELECT vec_a, vec_b, round(cosine, 6) AS cosine FROM p
+         |WHERE cosine >= 0.38 ORDER BY vec_a, vec_b""".stripMargin,
     "e4_ivf_topk" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |c AS (SELECT vec_id AS cell,

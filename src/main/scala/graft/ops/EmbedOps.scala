@@ -153,6 +153,49 @@ object EmbedOps {
       .orderBy("query_id", "rank")
   }
 
+  /** (vec_id, bucket) sign-bucket rows for nTables hash tables — shared by
+    * lshTopK and lshNearDupPairs. Hyperplanes are nTables×nPlanes literal
+    * arrays, computed once on the driver (splitmix64-seeded, reproducible
+    * on any cluster). The exploded bucket rows carry two scalar columns
+    * ONLY — bucket shuffles never move the embedding arrays. */
+  private def signBuckets(e: DataFrame, dim: Int, nPlanes: Int, nTables: Int): DataFrame = {
+    def bucketKey(table: Int): Column = {
+      val signs = (0 until nPlanes).map { p =>
+        when(litDot(col("embedding"), planeComponents(table, p, dim)) >= 0, lit(1))
+          .otherwise(lit(0)).cast("string")
+      }
+      concat(lit(s"t$table:") +: signs: _*)
+    }
+    e.select(col("vec_id"), explode(array((0 until nTables).map(bucketKey): _*)).as("bucket"))
+  }
+
+  /** LSH-bucketed near-duplicate pairs — the scale path for the brute-force
+    * cosineNearDupPairs: candidate pairs share a sign-bucket in ≥1 of the
+    * nTables hash tables (equi-join on the bucket key — never all-pairs),
+    * then verified with the exact cosine. Output is a subset of the brute
+    * baseline with identical cosines; recall rises with nTables×nPlanes
+    * (measured in OpsSpec against the exact pair set). */
+  def lshNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.38,
+                      nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
+    val e = emb(spark, dir)
+    val dim = embeddingDim(e)
+    // persisted: BOTH sides of the candidate self-join consume the full
+    // bucket set — unpersisted, the 32-dot bucket projection runs twice
+    val buckets = signBuckets(e, dim, nPlanes, nTables)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = buckets.toDF("vec_a", "bucket")
+      .join(buckets.toDF("vec_b", "bucket"), Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    candIds
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("va")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("vb")), Seq("vec_b"))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** LSH-bucketed approximate NN (scale path, verified in tests against the
     * brute-force baseline): `nPlanes` deterministic pseudo-random
     * hyperplanes (seeded per (plane, dim) — no RNG state, reproducible on
@@ -162,22 +205,7 @@ object EmbedOps {
               nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
     val e = emb(spark, dir)
     val dim = embeddingDim(e)
-
-    // hyperplanes are nTables×nPlanes literal arrays, computed once on the
-    // driver (splitmix64-seeded, reproducible on any cluster) — the old
-    // plan re-derived every component per ROW via an xxhash64 transform
-    def bucketKey(table: Int): Column = {
-      val signs = (0 until nPlanes).map { p =>
-        when(litDot(col("embedding"), planeComponents(table, p, dim)) >= 0, lit(1))
-          .otherwise(lit(0)).cast("string")
-      }
-      concat(lit(s"t$table:") +: signs: _*)
-    }
-
-    // buckets carry (vec_id, bucket) ONLY — the bucket-key shuffle moves
-    // two scalar columns, never the embedding arrays
-    val buckets = e.select(
-      col("vec_id"), explode(array((0 until nTables).map(bucketKey): _*)).as("bucket"))
+    val buckets = signBuckets(e, dim, nPlanes, nTables)
 
     val queries = buckets.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("bucket"))

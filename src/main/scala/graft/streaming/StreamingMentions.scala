@@ -55,6 +55,18 @@ object StreamingMentions {
       .groupBy(window(col("ts"), windowLen), col("envo"))
       .agg(count(lit(1)).as("occurrences"))
 
+  /** Streaming exact dedup at ingest — the streaming twin of the batch
+    * exact-dedup operator (d1): drop rows whose content hash was already
+    * seen. `dropDuplicatesWithinWatermark` bounds the hash state by event
+    * time (a hash ages out once the watermark passes it), so state stays
+    * constant at 10^12-turn scale where a plain `dropDuplicates` would
+    * grow without bound. Keeps the first arrival per hash. */
+  def dedupStream(turns: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    turns
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Incremental per-conversation concept counts: KeyValueGroupedDataset +
     * flatMapGroupsWithState. State = concept→count map per conv_id, with a
     * processing-time timeout so finished conversations age out (bounded

@@ -76,6 +76,21 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall too low for defaults")
   }
 
+  test("LSH near-dup pairs: subset of brute force with identical cosines") {
+    val brute = EmbedOps.cosineNearDupPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = EmbedOps.lshNearDupPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every LSH pair must be a true near-dup pair with the exact cosine
+    lsh.foreach { case (k, c) =>
+      assert(brute.contains(k), s"false positive pair $k")
+      assert(brute(k) === c)
+    }
+    val recall = if (brute.isEmpty) 1.0 else lsh.size.toDouble / brute.size
+    info(f"LSH near-dup recall = $recall%.2f over ${brute.size} brute pairs")
+    assert(brute.nonEmpty && recall >= 0.4, s"recall $recall too low for defaults")
+  }
+
   test("IVF top-k: exact cosines on candidates, recall vs brute force") {
     val brute = EmbedOps.cosineTopK(spark, dir, k = 5, nQueries = 3).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap

@@ -63,6 +63,30 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming dedup drops repeated content within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val deduped = StreamingMentions.dedupStream(input.toDS().toDF(), lateness = "1 hour")
+
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        turn("c1", 0, "the ocean was calm", 0),
+        turn("c2", 0, "the ocean was calm", 1),   // same-batch duplicate
+        turn("c3", 0, "lake mud sample", 2))
+      q.processAllAvailable()
+      input.addData(
+        turn("c4", 0, "the ocean was calm", 5),   // cross-batch duplicate
+        turn("c5", 0, "a brand new text", 6))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT conv_id FROM dedup_out ORDER BY conv_id")
+        .collect().map(_.getString(0)).toSeq
+      // first arrival per content hash survives; c2/c4 dropped
+      assert(rows === Seq("c1", "c3", "c5"))
+    } finally q.stop()
+  }
+
   test("stateful running per-conversation scores accumulate across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Turn]
