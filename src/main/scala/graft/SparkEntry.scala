@@ -106,6 +106,9 @@ object SparkEntry {
       MultimodalOps.sampleFrames(s, MultimodalOps.synthMedia(s, 500))
         .groupBy("media_id").agg(count(lit(1)).as("n_frames")).orderBy("media_id")
     }),
+    "m5_feature_neardup" -> ((s, _) =>
+      MultimodalOps.featureNearDup(s,
+        MultimodalOps.extractFeatures(s, MultimodalOps.synthMedia(s, 500)))),
     "m4_media_validate" -> ((s, _) => {
       import org.apache.spark.sql.functions._
       // deterministically corrupt two slices so the gate has rejects to count

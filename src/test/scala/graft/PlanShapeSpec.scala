@@ -76,6 +76,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("e5 LSH near-dup plan has no cartesian or nested-loop join") {
+    // the whole point of the bucketed near-dup is replacing e2's quadratic
+    // cross join with bucket equi-joins — a cartesian anywhere in the plan
+    // means the scale path regressed to all-pairs
+    val p = plan(graft.ops.EmbedOps.lshNearDupPairs(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("mention detect direct path has no shuffle before the tagger") {
     val turns = graft.synth.TranscriptGen.generate(spark, 10).toDF
     val p = plan(graft.stages.MentionDetect.detect(spark, turns, dedupeTexts = false))
