@@ -173,8 +173,18 @@ object EmbedOps {
     * cosineNearDupPairs: candidate pairs share a sign-bucket in ≥1 of the
     * nTables hash tables (equi-join on the bucket key — never all-pairs),
     * then verified with the exact cosine. Output is a subset of the brute
-    * baseline with identical cosines; recall rises with nTables×nPlanes
-    * (measured in OpsSpec against the exact pair set). */
+    * baseline with identical cosines; recall rises with nTables and falls
+    * with nPlanes (measured in OpsSpec against the exact pair set).
+    *
+    * Sizing at corpus scale: candidate volume is Σ|bucket|² per table, so
+    * nPlanes must grow with corpus size — 2^nPlanes buckets/table.
+    * nPlanes=4 fits the low test threshold (0.38: per-table collision
+    * (1-θ/π)^4 ≈ 0.15); a production near-dup threshold (≥0.9, θ ≤ 26°)
+    * keeps per-table collision ≈ 0.86^nPlanes, so 16-24 planes preserve
+    * recall while cutting each table into 10^5-10^7 buckets. The skew
+    * backstop for degenerate buckets (all-zero embeddings, boilerplate
+    * vectors) is AQE skew-join splitting on the bucket key, same as the
+    * shingle joins. */
   def lshNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.38,
                       nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
     val e = emb(spark, dir)
