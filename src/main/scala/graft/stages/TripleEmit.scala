@@ -138,6 +138,38 @@ object TripleEmit {
       .select("conv_id", "child_curie", "rel", "parent_curie")
   }
 
+  /** Per-conversation Graphviz DOT sources — the render-ready form of
+    * `convSubgraphs` (the reference renders per-seq subgraphs with pygraphviz,
+    * seqenv/outputs.py:176-225; here the DOT text itself is a column, built
+    * with codegen'd string/agg functions and NO driver collect — any
+    * graphviz binary renders the sources downstream). One (conv_id, dot)
+    * row per conversation; edge and label lines are sorted so the output
+    * is deterministic. */
+  def dotSources(spark: SparkSession, subgraphs: DataFrame, dict: EnvoDict): DataFrame = {
+    val names = Canonicalize.conceptFrame(spark, dict)
+      // names can never break the quoting: strip the one DOT-hostile char
+      .select(col("curie"), regexp_replace(col("name"), "\"", "'").as("name"))
+    val withNames = subgraphs
+      .join(broadcast(names.toDF("child_curie", "child_name")), "child_curie")
+      .join(broadcast(names.toDF("parent_curie", "parent_name")), "parent_curie")
+    val edgeLine = concat(lit("  \""), col("child_curie"), lit("\" -> \""),
+      col("parent_curie"), lit("\" [label=\""), col("rel"), lit("\"];"))
+    def labelLine(curie: org.apache.spark.sql.Column, name: org.apache.spark.sql.Column) =
+      concat(lit("  \""), curie, lit("\" [label=\""), name, lit("\"];"))
+    withNames
+      .select(col("conv_id"), edgeLine.as("line"),
+        array(labelLine(col("child_curie"), col("child_name")),
+          labelLine(col("parent_curie"), col("parent_name"))).as("labels"))
+      .groupBy("conv_id")
+      .agg(
+        array_sort(collect_set(col("line"))).as("edges"),
+        array_sort(array_distinct(flatten(collect_list(col("labels"))))).as("nodes"))
+      .select(col("conv_id"),
+        concat(lit("digraph envo {\n  rankdir=BT;\n"),
+          concat_ws("\n", col("nodes")), lit("\n"),
+          concat_ws("\n", col("edges")), lit("\n}")).as("dot"))
+  }
+
   /** Concept co-occurrence edges: for each conversation, every unordered
     * pair of DISTINCT concepts it is annotated with; edge weight = number of
     * conversations sharing the pair. Distinct-first keeps the self-join

@@ -26,8 +26,9 @@ import graft.synth.TranscriptGen
  *     --gi_dims <BuildDims out_dir> --out_dir DIR
  *     [--length_cutoff 4000] [+ the same flags as above]
  *
- * Outputs (the reference's output inventory, README.md:124-138, minus the
- * graphviz renders which SURVEY §2 S11 scopes out):
+ * Outputs (the reference's output inventory, README.md:124-138; the
+ * graphviz renders become distributed DOT-source rows via --dot true —
+ * only the raster step stays scoped out, SURVEY §2 S11):
  *   conv_to_concepts.tsv   concept×conv score matrix  (seq_to_concepts.tsv)
  *   conv_to_names.tsv      same with preferred names  (seq_to_names.tsv)
  *   list_concepts_found.tsv per-conv concept evidence (list_concepts_found.tsv)
@@ -125,6 +126,14 @@ object GraftCli {
       Abundance.writeTsv(Abundance.pivotMatrix(projNamed, rowKey = "name",
         colKey = "sample", value = "value"), s"$outDir/samples_to_names.tsv")
       Abundance.writeBiom(spark, proj, s"$outDir/samples.biom")
+    }
+
+    // per-conversation graphviz DOT sources (the reference's per-seq
+    // renders, outputs.py:176-225, minus the raster step): --dot true
+    if (a.get("dot").exists(_.toBoolean)) {
+      val sub = graft.stages.TripleEmit.convSubgraphs(spark, result.scores, d)
+      graft.stages.TripleEmit.dotSources(spark, sub, d)
+        .write.mode("overwrite").parquet(s"$outDir/subgraphs_dot")
     }
 
     // the KG itself: predicate-partitioned (pred pruning at query time),

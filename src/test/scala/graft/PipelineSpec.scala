@@ -130,6 +130,24 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("DOT sources: well-formed digraph per conversation, no driver collect") {
+    val r = new KgPipeline(spark).run(
+      Seq(Turn("s1", 0, "user", "the ocean was calm", None, new java.sql.Timestamp(0L))).toDS.toDF)
+    val sub = graft.stages.TripleEmit.convSubgraphs(spark, r.scores, KgPipeline.sharedDict)
+    val dots = graft.stages.TripleEmit.dotSources(spark, sub, KgPipeline.sharedDict)
+      .collect().map(x => (x.getString(0), x.getString(1))).toMap
+    val dot = dots("s1")
+    assert(dot.startsWith("digraph envo {"))
+    assert(dot.endsWith("}"))
+    // the annotated concept's direct edge and both node labels render
+    assert(dot.contains("\"ENVO:00000015\" -> \"ENVO:00001999\" [label=\"is_a\"];"))
+    assert(dot.contains("\"ENVO:00000015\" [label=\"ocean\"];"))
+    // every quoted curie in an edge also has a label line
+    val edgeCuries = "\"(ENVO:\\d+)\" ->".r.findAllMatchIn(dot).map(_.group(1)).toSet ++
+      "-> \"(ENVO:\\d+)\"".r.findAllMatchIn(dot).map(_.group(1)).toSet
+    edgeCuries.foreach(c => assert(dot.contains(s""""$c" [label="""), s"no label for $c"))
+  }
+
   test("ontology triples: typed OBO edges + closure descends_from edges") {
     val r = new KgPipeline(spark).run(
       Seq(Turn("z", 0, "user", "lake", None, new java.sql.Timestamp(0L))).toDS.toDF)
