@@ -58,6 +58,9 @@ object SparkEntry {
     "d7_minhash_lsh" -> ((s, d) => DocOps.minhashLshPairs(s, d)),
     "d8_simhash_pairs" -> ((s, d) => DocOps.simhashPairs(s, d)),
     "d10_boilerplate_ngrams" -> ((s, d) => DocOps.boilerplateNgrams(s, d)),
+    "d11_chunking" -> ((s, d) => DocOps.chunkDocs(s, d)),
+    "d12_stratified_sample" -> ((s, d) => DocOps.stratifiedSample(s, d)),
+    "d13_decontaminate" -> ((s, d) => DocOps.decontaminate(s, d)),
     // d9 consumes d6's (oracle-expressible) Jaccard pairs so the full
     // pairs→clusters path is DuckDB-checked (recursive CTE); the SimHash
     // pair source remains covered by ComponentsSpec.
@@ -379,6 +382,34 @@ object SparkEntry {
         |  FROM t WHERE len(toks) >= 3)
         |SELECT g, count(*) AS df FROM g GROUP BY 1
         |ORDER BY df DESC, g ASC LIMIT 20""".stripMargin,
+    "d11_chunking" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 40)) AS s
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT doc_id, (s - 1) // 40 AS chunk_idx,
+        |  len(list_slice(toks, s, s + 49)) AS n_tokens,
+        |  array_to_string(list_slice(toks, s, s + 49), ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    "d12_stratified_sample" ->
+      """SELECT doc_id, lang, source, bucket FROM (
+        |  SELECT doc_id, lang, source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT AS bucket
+        |  FROM documents)
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 4194304 ELSE 16777216 END
+        |ORDER BY doc_id""".stripMargin,
+    "d13_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS g
+        |  FROM t WHERE len(toks) >= 3),
+        |bg AS (SELECT DISTINCT g FROM g WHERE doc_id < 20)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM g WHERE doc_id >= 20 AND g IN (SELECT g FROM bg)
+        |GROUP BY 1 HAVING count(*) >= 3 ORDER BY doc_id""".stripMargin,
     "e1_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,

@@ -211,6 +211,65 @@ object DocOps {
       .orderBy(col("df").desc, col("g").asc)
       .limit(topN)
 
+  /** Context-window chunking: split each document into fixed-size token
+    * windows with `overlap` tokens of context carry-over — the packing
+    * primitive a training pipeline runs before tokenization. Pure
+    * projection + explode: no shuffle, scales linearly. Tail chunks may be
+    * shorter; every token appears in ≥1 chunk. */
+  def chunkDocs(spark: SparkSession, dir: String, chunkTokens: Int = 50,
+                overlap: Int = 10): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be smaller than the chunk")
+    val stride = chunkTokens - overlap
+    docs(spark, dir)
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(toks), $stride), " +
+          s"s -> struct(concat_ws(' ', slice(toks, s, $chunkTokens)) AS chunk_text, " +
+          s"size(slice(toks, s, $chunkTokens)) AS n_tokens))"))
+        .as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("c.n_tokens").as("n_tokens"), col("c.chunk_text").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Deterministic stratified sampling: keep a per-language fraction by
+    * bucketing a stable key hash into [0, 2^24) — reproducible on any
+    * cluster size (no RNG state, no sort, no shuffle; the filter pushes to
+    * the scan). The md5-prefix bucket is the same construction as d8's
+    * portable hash, so the DuckDB oracle is bit-identical. */
+  def stratifiedSample(spark: SparkSession, dir: String,
+                       rates: Map[String, Double] = Map("en" -> 0.25),
+                       defaultRate: Double = 1.0): DataFrame = {
+    val bucket = expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10) as bigint)")
+    val cut = rates.foldLeft(lit((defaultRate * (1 << 24)).toLong)) {
+      case (acc, (lang, r)) =>
+        when(col("lang") === lang, lit((r * (1 << 24)).toLong)).otherwise(acc)
+    }
+    docs(spark, dir)
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < cut)
+      .select("doc_id", "lang", "source", "bucket")
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination: flag documents sharing ≥ `minShared`
+    * distinct word-3-gram shingles with a benchmark/eval set (stand-in
+    * here: docs with doc_id < benchmarkN). The benchmark shingle set is
+    * tiny relative to the corpus, so the equality join broadcasts it —
+    * the corpus side streams through one codegen'd stage, never all-pairs
+    * and never shuffled on the shingle. */
+  def decontaminate(spark: SparkSession, dir: String, benchmarkN: Long = 20,
+                    minShared: Int = 3): DataFrame = {
+    val grams = withShingles(spark, dir)
+    val benchGrams = grams.filter(col("doc_id") < benchmarkN).select("g").distinct()
+    grams.filter(col("doc_id") >= benchmarkN)
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- analysis
 
   /** Token statistics: counts are integers — oracle-exact. `n_bpeish` is

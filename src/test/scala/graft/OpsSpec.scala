@@ -103,6 +103,61 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall too low for defaults")
   }
 
+  test("chunking: overlap-stitched chunks reconstruct the full token stream") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq)
+      .toMap
+    val chunks = DocOps.chunkDocs(spark, dir, chunkTokens = 50, overlap = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .groupBy(_._1)
+    assert(chunks.nonEmpty)
+    chunks.foreach { case (id, cs) =>
+      val ordered = cs.sortBy(_._2)
+      // chunk 0 whole, then drop the `overlap` carried tokens of each next
+      val stitched = ordered.head._4.split(' ').toSeq ++
+        ordered.tail.flatMap(_._4.split(' ').drop(10).toSeq)
+      assert(stitched === docs(id), s"doc $id reconstruction")
+      ordered.foreach { case (_, _, n, txt) => assert(txt.split(' ').length === n) }
+      assert(ordered.map(_._2) === ordered.indices.map(identity), s"doc $id chunk_idx gapless")
+    }
+  }
+
+  test("stratified sample: deterministic, strata rates honored") {
+    val s1 = DocOps.stratifiedSample(spark, dir).collect().map(_.toSeq)
+    val s2 = DocOps.stratifiedSample(spark, dir).collect().map(_.toSeq)
+    assert(s1.toSeq === s2.toSeq, "sampling must be run-to-run deterministic")
+    val total = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = s1.groupBy(_(1)).view.mapValues(_.size.toLong).toMap
+    // non-en strata keep everything; en keeps ~25% (hash-uniform, loose CI)
+    total.foreach { case (lang, n) =>
+      if (lang == "en") {
+        val rate = kept.getOrElse(lang, 0L).toDouble / n
+        assert(rate > 0.10 && rate < 0.45, s"en keep-rate $rate far from 0.25")
+      } else assert(kept.getOrElse(lang, 0L) === n, s"stratum $lang must be fully kept")
+    }
+  }
+
+  test("decontamination: benchmark excluded, shared-shingle counts are true") {
+    val flagged = DocOps.decontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.keys.forall(_ >= 20L), "benchmark docs must not flag themselves")
+    // independent recount for a sample of flagged docs
+    def shingleSet(text: String): Set[String] = {
+      val t = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      (if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toSet else Set.empty[String])
+    }
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val benchShingles = texts.filter(_._1 < 20L).values.flatMap(shingleSet).toSet
+    flagged.take(10).foreach { case (id, n) =>
+      val trueShared = (shingleSet(texts(id)) intersect benchShingles).size
+      assert(trueShared.toLong === n, s"doc $id shared-count")
+      assert(n >= 3L)
+    }
+  }
+
   test("HLL approx distinct within its relative standard deviation bound") {
     graft.ops.RelationalOps.approxDistinct(spark, dir, rsd = 0.02).collect().foreach { r =>
       val (exact, approx) = (r.getLong(1), r.getLong(2))
