@@ -61,6 +61,8 @@ object SparkEntry {
     "d11_chunking" -> ((s, d) => DocOps.chunkDocs(s, d)),
     "d12_stratified_sample" -> ((s, d) => DocOps.stratifiedSample(s, d)),
     "d13_decontaminate" -> ((s, d) => DocOps.decontaminate(s, d)),
+    "d14_pii_scrub" -> ((s, d) => DocOps.scrubPii(s, d)),
+    "d15_repetition_signals" -> ((s, d) => DocOps.repetitionSignals(s, d)),
     // d9 consumes d6's (oracle-expressible) Jaccard pairs so the full
     // pairs→clusters path is DuckDB-checked (recursive CTE); the SimHash
     // pair source remains covered by ComponentsSpec.
@@ -410,6 +412,42 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_shared
         |FROM g WHERE doc_id >= 20 AND g IN (SELECT g FROM bg)
         |GROUP BY 1 HAVING count(*) >= 3 ORDER BY doc_id""".stripMargin,
+    "d14_pii_scrub" ->
+      """WITH t AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 7 = 0 THEN ' contact bob@example.com now'
+        |       WHEN doc_id % 11 = 0 THEN ' node at 10.12.0.17 replied'
+        |       WHEN doc_id % 13 = 0 THEN ' call 5551234567 today'
+        |       ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{7,}\b', '<PHONE>', 'g')) AS clean_hash
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "d15_repetition_signals" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, len(toks) AS n_tokens,
+        |  [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS g2,
+        |  [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)] AS g3,
+        |  [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+        |   for i in range(1, len(toks) - 2)] AS g4
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CASE WHEN len(g2) > 0 THEN CAST(1.0 AS DOUBLE)
+        |    - CAST(len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS dup_2gram_frac,
+        |  CASE WHEN len(g3) > 0 THEN CAST(1.0 AS DOUBLE)
+        |    - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS dup_3gram_frac,
+        |  CASE WHEN len(g4) > 0 THEN CAST(1.0 AS DOUBLE)
+        |    - CAST(len(list_distinct(g4)) AS DOUBLE) / CAST(len(g4) AS DOUBLE)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS dup_4gram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
     "e1_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,

@@ -270,6 +270,54 @@ object DocOps {
       .orderBy("doc_id")
   }
 
+  /** PII scrubbing: redact emails, IPv4s, and long digit runs (phone-like)
+    * with typed placeholders, emitting per-doc redaction counts for audit.
+    * Pure projection — a regexp_replace chain, no shuffle. The synthetic
+    * corpus carries no PII, so deterministic markers are injected first
+    * (doc_id-keyed CASE — mirrored verbatim in the oracle) so the operator
+    * demonstrably fires; on real data pass the raw text column. Patterns
+    * are Java/RE2-portable (no lookarounds). */
+  def scrubPii(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\b\\d{7,}\\b"
+    docs(spark, dir)
+      .withColumn("t",
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit(" contact bob@example.com now"))
+            .when(pmod(col("doc_id"), lit(11)) === 0, lit(" node at 10.12.0.17 replied"))
+            .when(pmod(col("doc_id"), lit(13)) === 0, lit(" call 5551234567 today"))
+            .otherwise(lit(""))))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(email), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(ip), lit(0))).as("n_ips"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
+          email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>")).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** Repetition signals (Gopher-style quality heuristics): the fraction of
+    * duplicate word n-grams per document for n = 2, 3, 4 — high values mean
+    * degenerate, loop-generated, or boilerplate text. Projection-only. */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    def grams(n: Int): Column = expr(
+      s"transform(sequence(1, greatest(size(toks) - ${n - 1}, 0)), " +
+        s"i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(toks, i+$j)").mkString(", ")}))")
+    def dupFrac(n: Int): Column = {
+      val g = grams(n)
+      when(size(g) > 0,
+        lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"))
+        .otherwise(lit(0.0))
+    }
+    docs(spark, dir)
+      .withColumn("toks", toks)
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        dupFrac(2).as("dup_2gram_frac"),
+        dupFrac(3).as("dup_3gram_frac"),
+        dupFrac(4).as("dup_4gram_frac"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- analysis
 
   /** Token statistics: counts are integers — oracle-exact. `n_bpeish` is

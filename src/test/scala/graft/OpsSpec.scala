@@ -158,6 +158,34 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("PII scrub: injected markers counted and redacted; others untouched") {
+    val rows = DocOps.scrubPii(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    rows.foreach { case (id, (emails, ips)) =>
+      if (id % 7 == 0) assert(emails === 1, s"doc $id email count")
+      else assert(emails === 0, s"doc $id spurious email")
+      if (id % 7 != 0 && id % 11 == 0) assert(ips === 1, s"doc $id ip count")
+    }
+    // redaction really rewrites: clean hash of a marker doc differs from
+    // the raw-text md5 fingerprint (d5) of the same doc
+    val fp = DocOps.fingerprint(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clean = DocOps.scrubPii(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(clean(0L) !== fp(0L))
+  }
+
+  test("repetition signals are in [0,1) and word-soup docs repeat more at n=2") {
+    val rows = DocOps.repetitionSignals(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, d2, d3, d4) =>
+      assert(d2 >= 0.0 && d2 < 1.0 && d3 >= 0.0 && d4 >= 0.0, s"doc $id")
+      assert(d2 >= d3 && d3 >= d4, s"doc $id: shorter n-grams repeat at least as much")
+    }
+    assert(rows.exists(_._2 > 0.0), "corpus should show some bigram repetition")
+  }
+
   test("HLL approx distinct within its relative standard deviation bound") {
     graft.ops.RelationalOps.approxDistinct(spark, dir, rsd = 0.02).collect().foreach { r =>
       val (exact, approx) = (r.getLong(1), r.getLong(2))
