@@ -85,6 +85,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("chunking and repetition signals are projection-only (no hash shuffle)") {
+    // the only exchange allowed is the range partition of the output sort —
+    // a hash exchange would mean the op secretly aggregates or joins
+    Seq(graft.ops.DocOps.chunkDocs(spark, dir),
+        graft.ops.DocOps.repetitionSignals(spark, dir)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("Exchange hashpartitioning"), p)
+    }
+  }
+
+  test("decontamination joins the benchmark shingles broadcast, semi only") {
+    val p = plan(graft.ops.DocOps.decontaminate(spark, dir))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("mention detect direct path has no shuffle before the tagger") {
     val turns = graft.synth.TranscriptGen.generate(spark, 10).toDF
     val p = plan(graft.stages.MentionDetect.detect(spark, turns, dedupeTexts = false))
