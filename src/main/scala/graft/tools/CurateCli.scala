@@ -1,0 +1,127 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Sessions
+import graft.ops.{Components, DocOps}
+
+/**
+ * The corpus-curation funnel a training-data pipeline runs end-to-end, as
+ * ONE job composed from the library's operators:
+ *
+ *   input docs
+ *     → exact dedup        (d1: md5 keep-min)
+ *     → near-dup dedup     (d7 MinHash+LSH pairs → d9 clusters, keep each
+ *                           cluster's representative)
+ *     → decontamination    (d13: drop docs sharing shingles with the
+ *                           benchmark set)
+ *     → quality gate       (d3: composite score ≥ threshold)
+ *     → language gate      (d4: identified language only)
+ *     → stratified sample  (d12: deterministic per-language keep rate)
+ *     → chunking           (d11: fixed-token windows with overlap)
+ *
+ * Prints one funnel line per stage (stage, rows kept) — no silent drops —
+ * and writes the surviving chunks + the funnel table to out_dir. Every
+ * stage is deterministic, so reruns produce identical funnels.
+ *
+ * Each gate computes its signal from the source scan independently (the
+ * signals are one-pass projections/aggs; at 100 TB you run them as one
+ * multi-output pass over a persisted token projection — the id-set
+ * semi-join composition below is identical either way).
+ *
+ *   sbt -batch "runMain graft.tools.CurateCli --docs_dir /root/testdata/sf0.001 \
+ *     --out_dir /tmp/curated [--min_quality 0.5] [--sample_en 0.25] \
+ *     [--benchmark_n 20] [--chunk_tokens 50] [--overlap 10] [--num_threads 8]"
+ */
+object CurateCli {
+
+  final case class CurateConfig(
+      minQuality: Double = 0.5,
+      sampleEn: Double = 0.25,
+      benchmarkN: Long = 20,
+      chunkTokens: Int = 50,
+      overlap: Int = 10)
+
+  /** Runs the funnel; returns (stage, rowsKept) in order and writes
+    * chunks + funnel to outDir. */
+  def run(spark: SparkSession, dir: String, outDir: String,
+          cfg: CurateConfig = CurateConfig()): Seq[(String, Long)] = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val funnel = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def stage(name: String, kept: DataFrame): DataFrame = {
+      val k = kept.persist()
+      funnel += name -> k.count()
+      k
+    }
+
+    val all = stage("input", docs.select("doc_id"))
+
+    // d1: one survivor per exact content hash
+    val exact = stage("exact_dedup",
+      all.join(DocOps.exactDedup(spark, dir)
+        .select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi"))
+
+    // d7 → d9: drop every near-dup cluster member except its representative
+    val nearDupLosers = Components
+      .dupClusters(spark, DocOps.minhashLshPairs(spark, dir))
+      .filter(col("doc_id") =!= col("representative"))
+      .select("doc_id")
+    val nearDeduped = stage("near_dedup",
+      exact.join(nearDupLosers, Seq("doc_id"), "left_anti"))
+
+    // d13: drop docs overlapping the benchmark (and the benchmark itself —
+    // eval data never belongs in the training corpus)
+    val contaminated = DocOps.decontaminate(spark, dir, cfg.benchmarkN).select("doc_id")
+    val decontaminated = stage("decontaminate",
+      nearDeduped
+        .filter(col("doc_id") >= cfg.benchmarkN)
+        .join(contaminated, Seq("doc_id"), "left_anti"))
+
+    // d3 + d4 gates
+    val qualityOk = DocOps.qualityScore(spark, dir)
+      .filter(col("quality") >= cfg.minQuality).select("doc_id")
+    val gated1 = stage("quality_gate",
+      decontaminated.join(qualityOk, Seq("doc_id"), "left_semi"))
+    val langOk = DocOps.langId(spark, dir)
+      .filter(col("pred_lang") =!= "und").select("doc_id")
+    val gated = stage("lang_gate", gated1.join(langOk, Seq("doc_id"), "left_semi"))
+
+    // d12: deterministic per-language downsample
+    val sampled = stage("stratified_sample",
+      gated.join(DocOps.stratifiedSample(spark, dir, Map("en" -> cfg.sampleEn))
+        .select("doc_id"), Seq("doc_id"), "left_semi"))
+
+    // d11: chunk the survivors
+    val chunks = DocOps.chunkDocs(spark, dir, cfg.chunkTokens, cfg.overlap)
+      .join(sampled, Seq("doc_id"), "left_semi")
+    chunks.write.mode("overwrite").parquet(s"$outDir/chunks")
+    funnel += "chunks" -> spark.read.parquet(s"$outDir/chunks").count()
+
+    import spark.implicits._
+    funnel.toSeq.zipWithIndex
+      .map { case ((s, n), i) => (i, s, n) }.toDF("stage_idx", "stage", "rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/funnel")
+    funnel.toSeq
+  }
+
+  private def parseArgs(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect { case Array(k, v) if k.startsWith("--") => k.drop(2) -> v }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val a = parseArgs(args)
+    require(a.contains("docs_dir") && a.contains("out_dir"),
+      "usage: CurateCli --docs_dir DIR --out_dir DIR [--min_quality 0.5] " +
+        "[--sample_en 0.25] [--benchmark_n 20] [--chunk_tokens 50] [--overlap 10] " +
+        "[--num_threads 8]")
+    val cfg = CurateConfig(
+      minQuality = a.getOrElse("min_quality", "0.5").toDouble,
+      sampleEn = a.getOrElse("sample_en", "0.25").toDouble,
+      benchmarkN = a.getOrElse("benchmark_n", "20").toLong,
+      chunkTokens = a.getOrElse("chunk_tokens", "50").toInt,
+      overlap = a.getOrElse("overlap", "10").toInt)
+    val spark = Sessions.local(a.getOrElse("num_threads", "8").toInt, appName = "graft-curate")
+    val funnel = run(spark, a("docs_dir"), a("out_dir"), cfg)
+    funnel.foreach { case (s, n) => println(f"[curate] $s%-18s $n%9d") }
+    spark.stop()
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import graft.tools.CurateCli
+
+/** The end-to-end curation funnel: monotone, deterministic, and each gate
+  * provably bites on the driver testdata. */
+class CurateSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("curation funnel is monotone decreasing and deterministic") {
+    val out1 = java.nio.file.Files.createTempDirectory("graft-curate1").toString
+    val f1 = CurateCli.run(spark, dir, out1)
+    val stages = f1.map(_._1)
+    assert(stages === Seq("input", "exact_dedup", "near_dedup", "decontaminate",
+      "quality_gate", "lang_gate", "stratified_sample", "chunks"))
+    // doc-id stages only (chunking legitimately multiplies rows)
+    val docStages = f1.dropRight(1).map(_._2)
+    assert(docStages === docStages.zip(docStages.head +: docStages).map(x => math.min(x._1, x._2)),
+      s"funnel must be monotone: $f1")
+    assert(f1.last._2 > 0, "survivors must produce chunks")
+    // every gate with a configured bite actually dropped something (the
+    // testdata has no exact duplicates, so near-dup is the first real bite)
+    assert(f1(2)._2 < f1(1)._2, "near-dup clusters should drop members")
+    assert(f1(3)._2 < f1(2)._2, "benchmark removal should drop rows")
+    assert(f1(6)._2 < f1(5)._2, "en downsample should drop rows")
+
+    val out2 = java.nio.file.Files.createTempDirectory("graft-curate2").toString
+    val f2 = CurateCli.run(spark, dir, out2)
+    assert(f1 === f2, "funnel must be rerun-deterministic")
+
+    // surviving chunks reference only surviving docs
+    val chunkDocs = spark.read.parquet(s"$out1/chunks")
+      .select("doc_id").distinct().count()
+    assert(chunkDocs === f1(6)._2)
+  }
+}
