@@ -337,11 +337,27 @@ object DocOps {
         size(col("pieces")).as("n_bpeish"))
       .orderBy("doc_id")
 
+  private val stopwords = Seq("the", "a", "of", "and", "is", "in", "to")
+
+  /** The composite quality score as one expression over a text column —
+    * the same formula `qualityScore` emits (QualityExprSpec pins them
+    * equal), reusable wherever a frame carries text: the batch query, the
+    * curation funnel, and the streaming ingest gate. */
+  def qualityExpr(text: Column): Column = {
+    val t = filter(split(lower(text), "\\W+"), x => x =!= lit(""))
+    val n = size(t).cast("double")
+    val ttr = size(array_distinct(t)).cast("double") / n
+    val stopRatio = size(filter(t, x => x.isin(stopwords.map(lit): _*))).cast("double") / n
+    val lenFactor = least(lit(1.0), n / lit(100.0))
+    when(size(t) > 0,
+      ttr * lit(0.4) + (lit(1.0) - stopRatio) * lit(0.3) + lenFactor * lit(0.3))
+      .otherwise(lit(0.0))
+  }
+
   /** Quality scoring: type-token ratio, stopword ratio, length factor —
     * every double is a division/product of bit-identical operands on both
     * engines. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val stopwords = Seq("the", "a", "of", "and", "is", "in", "to")
     val stopArr = stopwords.map(s => s"'$s'").mkString(", ")
     docs(spark, dir)
       .withColumn("toks", toks)

@@ -67,6 +67,24 @@ object StreamingMentions {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Curated streaming ingest — the training-pipeline curation projections
+    * applied AT the stream boundary, in one readStream pipeline: watermark-
+    * bounded exact dedup, then the quality gate (the SAME codegen'd
+    * expression as the batch operator, `DocOps.qualityExpr` — Structured
+    * Streaming runs projections unchanged), then tagging. Emits the mention
+    * stream of the surviving turns. */
+  def curatedIngest(spark: SparkSession, turns: Dataset[Turn],
+                    ac: Broadcast[AhoCorasick],
+                    minQuality: Double = 0.3,
+                    lateness: String = "10 minutes"): Dataset[StreamMention] = {
+    import spark.implicits._
+    val gated = dedupStream(turns.toDF(), lateness)
+      .filter(graft.ops.DocOps.qualityExpr(col("text")) >= minQuality)
+      .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .as[Turn]
+    mentionStream(spark, gated, ac)
+  }
+
   /** Incremental per-conversation concept counts: KeyValueGroupedDataset +
     * flatMapGroupsWithState. State = concept→count map per conv_id, with a
     * processing-time timeout so finished conversations age out (bounded

@@ -158,6 +158,15 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("qualityExpr is the same formula the batch quality query emits") {
+    val viaExpr = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), DocOps.qualityExpr(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    DocOps.qualityScore(spark, dir).collect().foreach { r =>
+      assert(viaExpr(r.getLong(0)) === r.getDouble(6), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("PII scrub: injected markers counted and redacted; others untouched") {
     val rows = DocOps.scrubPii(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap

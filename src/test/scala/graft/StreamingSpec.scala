@@ -87,6 +87,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curated ingest: dedup + quality gate + tagging in one stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val ac = spark.sparkContext.broadcast(KgPipeline.sharedAutomaton)
+    val mentions = StreamingMentions.curatedIngest(spark, input.toDS(), ac, minQuality = 0.3)
+
+    val q = mentions.writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        turn("good", 0, "the ocean was calm", 0),
+        turn("dup", 0, "the ocean was calm", 1),     // dropped: duplicate text
+        turn("junk", 0, "a a a a a", 2),             // dropped: quality 0.095 < 0.3
+        turn("clean", 0, "nothing conceptual here", 3)) // survives gate, no mentions
+      q.processAllAvailable()
+      val convs = spark.sql("SELECT DISTINCT conv_id FROM curated")
+        .collect().map(_.getString(0)).toSet
+      assert(convs === Set("good"))
+      val envos = spark.sql("SELECT envo FROM curated WHERE conv_id='good'")
+        .collect().map(_.getInt(0)).toSet
+      assert(envos.contains(15), "ocean concept must be tagged") // ENVO:...15 = ocean
+    } finally q.stop()
+  }
+
   test("stateful running per-conversation scores accumulate across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Turn]
