@@ -68,6 +68,32 @@ object SparkEntry {
     // pair source remains covered by ComponentsSpec.
     "d9_dup_clusters" -> ((s, d) =>
       graft.ops.Components.dupClusters(s, DocOps.ngramJaccardPairs(s, d))),
+    // O1 — the tagger primitive under the driver's DuckDB gate: restricted
+    // to single-token dictionary forms, longest-leftmost tagging degenerates
+    // to token equality, which IS SQL-expressible. The REAL automaton runs
+    // (build + scan + token boundaries + the raw-slice case-sensitive
+    // stoplist: injected "OCEAN" must stay blocked while "ocean" counts);
+    // the oracle recounts tokens independently. Injection is needed because
+    // the synthetic documents vocabulary contains no un-stoplisted EnvO
+    // surface form — the CASE is mirrored verbatim in the oracle.
+    "o1_tagger_restricted" -> ((s, d) => {
+      import s.implicits._
+      val forms = Set("ocean", "sea", "lake", "mud", "garden", "pond")
+      val full = KgPipeline.sharedDict
+      val dict = full.copy(formToSerials = full.formToSerials.filter(kv => forms(kv._1)))
+      val ac = s.sparkContext.broadcast(graft.dict.AhoCorasick.build(dict))
+      s.read.parquet(s"$d/documents.parquet")
+        .withColumn("t2", concat(col("text"),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit(" the ocean meets the sea near the ocean"))
+            .when(pmod(col("doc_id"), lit(5)) === 1, lit(" mud by the lake and garden mud"))
+            .when(pmod(col("doc_id"), lit(5)) === 2, lit(" OCEAN stays blocked but pond counts"))
+            .otherwise(lit(""))))
+        .select(col("doc_id"), col("t2")).as[(Long, String)]
+        .flatMap { case (id, text) => ac.value.tag(text).map(m => (id, m.form)) }
+        .toDF("doc_id", "form")
+        .groupBy("doc_id", "form").agg(count(lit(1)).as("n"))
+        .orderBy("doc_id", "form")
+    }),
     // --- similarity search (embeddings) ---
     "e1_cosine_topk" -> ((s, d) => EmbedOps.cosineTopK(s, d)),
     "e2_cosine_neardup" -> ((s, d) => EmbedOps.cosineNearDupPairs(s, d)),
@@ -448,6 +474,21 @@ object SparkEntry {
         |    - CAST(len(list_distinct(g4)) AS DOUBLE) / CAST(len(g4) AS DOUBLE)
         |    ELSE CAST(0.0 AS DOUBLE) END AS dup_4gram_frac
         |FROM g ORDER BY doc_id""".stripMargin,
+    "o1_tagger_restricted" ->
+      """WITH t AS (SELECT doc_id, text ||
+        |  CASE doc_id % 5 WHEN 0 THEN ' the ocean meets the sea near the ocean'
+        |                  WHEN 1 THEN ' mud by the lake and garden mud'
+        |                  WHEN 2 THEN ' OCEAN stays blocked but pond counts'
+        |                  ELSE '' END AS t2
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(t2, '[^A-Za-z0-9]+'), x -> x <> '')) AS raw
+        |  FROM t)
+        |SELECT doc_id, lower(raw) AS form, count(*) AS n
+        |FROM tok
+        |WHERE lower(raw) IN ('ocean', 'sea', 'lake', 'mud', 'garden', 'pond')
+        |  AND raw <> 'OCEAN'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "e1_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
