@@ -78,21 +78,43 @@ object SparkEntry {
     // surface form — the CASE is mirrored verbatim in the oracle.
     "o1_tagger_restricted" -> ((s, d) => {
       import s.implicits._
-      val forms = Set("ocean", "sea", "lake", "mud", "garden", "pond")
-      val full = KgPipeline.sharedDict
-      val dict = full.copy(formToSerials = full.formToSerials.filter(kv => forms(kv._1)))
-      val ac = s.sparkContext.broadcast(graft.dict.AhoCorasick.build(dict))
+      val ac = s.sparkContext.broadcast(graft.dict.AhoCorasick.build(restrictedDict))
       s.read.parquet(s"$d/documents.parquet")
-        .withColumn("t2", concat(col("text"),
-          when(pmod(col("doc_id"), lit(5)) === 0, lit(" the ocean meets the sea near the ocean"))
-            .when(pmod(col("doc_id"), lit(5)) === 1, lit(" mud by the lake and garden mud"))
-            .when(pmod(col("doc_id"), lit(5)) === 2, lit(" OCEAN stays blocked but pond counts"))
-            .otherwise(lit(""))))
+        .withColumn("t2", taggerInjection)
         .select(col("doc_id"), col("t2")).as[(Long, String)]
         .flatMap { case (id, text) => ac.value.tag(text).map(m => (id, m.form)) }
         .toDF("doc_id", "form")
         .groupBy("doc_id", "form").agg(count(lit(1)).as("n"))
         .orderBy("doc_id", "form")
+    }),
+    // O1→A1/A4 end-to-end under the gate: the REAL tagger (restricted
+    // dictionary, see o1) feeding the REAL LinkScore (flat + proportional)
+    // — the oracle recomputes the whole chain from token counts and the
+    // dictionary's form→envo mapping (embedded as literals from the same
+    // loaded artifact).
+    "o2_scoring_restricted" -> ((s, d) => {
+      import s.implicits._
+      val dict = restrictedDict
+      val ac = s.sparkContext.broadcast(graft.dict.AhoCorasick.build(dict))
+      // (LinkScore receives the restricted dict too: backtracking/restrict
+      // are off, so only its scoring aggregation runs)
+      val envoRows = s.read.parquet(s"$d/documents.parquet")
+        .withColumn("t2", taggerInjection)
+        .select(col("doc_id"), col("t2")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          ac.value.tag(text).iterator
+            .flatMap(m => m.envos.iterator.map(e => (id.toString, 0, m.start, m.form, e)))
+            .toSeq
+        }
+        .toDF("conv_id", "turn_idx", "start", "form", "envo")
+        .withColumn("tool", lit(null).cast("string"))
+        .withColumn("text_hash", lit(0L))
+        .withColumn("mention_pos", lit(0))
+        .withColumn("end", col("start"))
+      graft.stages.LinkScore.score(s, envoRows, dict,
+          graft.stages.ScoreConfig(normalization = "flat", proportional = true))
+        .select(col("conv_id"), col("envo"), col("score"))
+        .orderBy("conv_id", "envo")
     }),
     // --- similarity search (embeddings) ---
     "e1_cosine_topk" -> ((s, d) => EmbedOps.cosineTopK(s, d)),
@@ -150,6 +172,37 @@ object SparkEntry {
           when(pmod(col("media_id"), lit(31)) === 0, lit(-5)).otherwise(col("duration_ms")))
       MultimodalOps.mediaValidationStats(media)
     }))
+
+  /** The o1/o2 restricted dictionary: single-token EnvO forms present in
+    * neither the stoplist (lowercase) nor each other — longest-leftmost
+    * tagging over them degenerates to token equality. */
+  private val restrictedForms = Seq("garden", "lake", "mud", "ocean", "pond", "sea")
+
+  private def restrictedDict = {
+    val full = KgPipeline.sharedDict
+    full.copy(formToSerials = full.formToSerials.filter(kv => restrictedForms.contains(kv._1)))
+  }
+
+  /** Deterministic EnvO-word injection for o1/o2 (the synthetic documents
+    * vocabulary contains no un-stoplisted surface form) — mirrored verbatim
+    * as a CASE in the oracles. */
+  private def taggerInjection: org.apache.spark.sql.Column =
+    concat(col("text"),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit(" the ocean meets the sea near the ocean"))
+        .when(pmod(col("doc_id"), lit(5)) === 1, lit(" mud by the lake and garden mud"))
+        .when(pmod(col("doc_id"), lit(5)) === 2, lit(" OCEAN stays blocked but pond counts"))
+        .otherwise(lit("")))
+
+  /** (form, envo) VALUES rows of the restricted dictionary — the oracle's
+    * copy of the form→concept mapping, generated from the same loaded
+    * artifact the engine tags with. */
+  private def restrictedFormEnvoValues: String = {
+    val full = KgPipeline.sharedDict
+    (for {
+      f <- restrictedForms
+      e <- full.formToSerials(f).flatMap(full.serialToEnvoInt.get).distinct.sorted
+    } yield s"  ('$f', $e)").mkString(",\n")
+  }
 
   /** The e3 LSH hyperplanes as DuckDB VALUES rows — the SAME splitmix64
     * components `EmbedOps.lshTopK` bakes into its projection, printed with
@@ -489,6 +542,27 @@ object SparkEntry {
         |WHERE lower(raw) IN ('ocean', 'sea', 'lake', 'mud', 'garden', 'pond')
         |  AND raw <> 'OCEAN'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "o2_scoring_restricted" ->
+      s"""WITH fe(form, envo) AS (VALUES
+         |$restrictedFormEnvoValues),
+         |t AS (SELECT doc_id, text ||
+         |  CASE doc_id % 5 WHEN 0 THEN ' the ocean meets the sea near the ocean'
+         |                  WHEN 1 THEN ' mud by the lake and garden mud'
+         |                  WHEN 2 THEN ' OCEAN stays blocked but pond counts'
+         |                  ELSE '' END AS t2
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(t2, '[^A-Za-z0-9]+'), x -> x <> '')) AS raw
+         |  FROM t),
+         |m AS (SELECT doc_id, lower(raw) AS form FROM tok
+         |  WHERE lower(raw) IN ('ocean', 'sea', 'lake', 'mud', 'garden', 'pond')
+         |    AND raw <> 'OCEAN'),
+         |occ AS (SELECT CAST(doc_id AS VARCHAR) AS conv_id, envo, count(*) AS occ
+         |  FROM m JOIN fe USING (form) GROUP BY 1, 2),
+         |tot AS (SELECT conv_id, sum(occ) AS total FROM occ GROUP BY 1)
+         |SELECT occ.conv_id, occ.envo,
+         |       CAST(occ.occ AS DOUBLE) / CAST(tot.total AS DOUBLE) AS score
+         |FROM occ JOIN tot USING (conv_id) ORDER BY conv_id, envo""".stripMargin,
     "e1_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
