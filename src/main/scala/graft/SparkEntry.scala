@@ -92,29 +92,22 @@ object SparkEntry {
     // — the oracle recomputes the whole chain from token counts and the
     // dictionary's form→envo mapping (embedded as literals from the same
     // loaded artifact).
-    "o2_scoring_restricted" -> ((s, d) => {
-      import s.implicits._
-      val dict = restrictedDict
-      val ac = s.sparkContext.broadcast(graft.dict.AhoCorasick.build(dict))
-      // (LinkScore receives the restricted dict too: backtracking/restrict
-      // are off, so only its scoring aggregation runs)
-      val envoRows = s.read.parquet(s"$d/documents.parquet")
-        .withColumn("t2", taggerInjection)
-        .select(col("doc_id"), col("t2")).as[(Long, String)]
-        .flatMap { case (id, text) =>
-          ac.value.tag(text).iterator
-            .flatMap(m => m.envos.iterator.map(e => (id.toString, 0, m.start, m.form, e)))
-            .toSeq
-        }
-        .toDF("conv_id", "turn_idx", "start", "form", "envo")
-        .withColumn("tool", lit(null).cast("string"))
-        .withColumn("text_hash", lit(0L))
-        .withColumn("mention_pos", lit(0))
-        .withColumn("end", col("start"))
-      graft.stages.LinkScore.score(s, envoRows, dict,
+    "o2_scoring_restricted" -> ((s, d) =>
+      // (LinkScore receives the restricted dict: backtracking/restrict are
+      // off, so only its scoring aggregation runs)
+      graft.stages.LinkScore.score(s, restrictedEnvoRows(s, d), restrictedDict,
           graft.stages.ScoreConfig(normalization = "flat", proportional = true))
         .select(col("conv_id"), col("envo"), col("score"))
-        .orderBy("conv_id", "envo")
+        .orderBy("conv_id", "envo")),
+    // O1→A4→co-occurrence→J7 canonicalization, the full KG edge chain on
+    // the restricted dictionary — curies come from the same artifact the
+    // oracle embeds as its (envo, curie) dim.
+    "o3_cooccurrence_restricted" -> ((s, d) => {
+      val scores = graft.stages.LinkScore.score(s, restrictedEnvoRows(s, d), restrictedDict,
+        graft.stages.ScoreConfig(normalization = "flat", proportional = true))
+      graft.stages.TripleEmit.coOccurrenceTriples(s,
+          graft.stages.TripleEmit.coOccurrence(scores), restrictedDict)
+        .orderBy("subj", "obj")
     }),
     // --- similarity search (embeddings) ---
     "e1_cosine_topk" -> ((s, d) => EmbedOps.cosineTopK(s, d)),
@@ -202,6 +195,35 @@ object SparkEntry {
       f <- restrictedForms
       e <- full.formToSerials(f).flatMap(full.serialToEnvoInt.get).distinct.sorted
     } yield s"  ('$f', $e)").mkString(",\n")
+  }
+
+  /** (envo, curie) VALUES rows for the restricted concepts — the oracle's
+    * copy of the canonicalization dim. */
+  private def restrictedEnvoCurieValues: String = {
+    val full = KgPipeline.sharedDict
+    val envos = restrictedForms
+      .flatMap(f => full.formToSerials(f).flatMap(full.serialToEnvoInt.get)).distinct.sorted
+    envos.map(e => s"  ($e, '${full.intToCurie(e)}')").mkString(",\n")
+  }
+
+  /** The o2/o3 shared stage: REAL restricted tagger over injected documents
+    * → envoRows in the engine's hot-projection shape. */
+  private def restrictedEnvoRows(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ac = s.sparkContext.broadcast(graft.dict.AhoCorasick.build(restrictedDict))
+    s.read.parquet(s"$d/documents.parquet")
+      .withColumn("t2", taggerInjection)
+      .select(col("doc_id"), col("t2")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        ac.value.tag(text).iterator
+          .flatMap(m => m.envos.iterator.map(e => (id.toString, 0, m.start, m.form, e)))
+          .toSeq
+      }
+      .toDF("conv_id", "turn_idx", "start", "form", "envo")
+      .withColumn("tool", lit(null).cast("string"))
+      .withColumn("text_hash", lit(0L))
+      .withColumn("mention_pos", lit(0))
+      .withColumn("end", col("start"))
   }
 
   /** The e3 LSH hyperplanes as DuckDB VALUES rows — the SAME splitmix64
@@ -563,6 +585,31 @@ object SparkEntry {
          |SELECT occ.conv_id, occ.envo,
          |       CAST(occ.occ AS DOUBLE) / CAST(tot.total AS DOUBLE) AS score
          |FROM occ JOIN tot USING (conv_id) ORDER BY conv_id, envo""".stripMargin,
+    "o3_cooccurrence_restricted" ->
+      s"""WITH fe(form, envo) AS (VALUES
+         |$restrictedFormEnvoValues),
+         |ec(envo, curie) AS (VALUES
+         |$restrictedEnvoCurieValues),
+         |t AS (SELECT doc_id, text ||
+         |  CASE doc_id % 5 WHEN 0 THEN ' the ocean meets the sea near the ocean'
+         |                  WHEN 1 THEN ' mud by the lake and garden mud'
+         |                  WHEN 2 THEN ' OCEAN stays blocked but pond counts'
+         |                  ELSE '' END AS t2
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(t2, '[^A-Za-z0-9]+'), x -> x <> '')) AS raw
+         |  FROM t),
+         |m AS (SELECT doc_id, lower(raw) AS form FROM tok
+         |  WHERE lower(raw) IN ('ocean', 'sea', 'lake', 'mud', 'garden', 'pond')
+         |    AND raw <> 'OCEAN'),
+         |de AS (SELECT DISTINCT doc_id, envo FROM m JOIN fe USING (form)),
+         |p AS (SELECT a.envo AS envo_a, b.envo AS envo_b, count(*) AS n_convs
+         |  FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.envo < b.envo
+         |  GROUP BY 1, 2)
+         |SELECT ca.curie AS subj, 'cooccurs_with' AS pred, cb.curie AS obj,
+         |       CAST(n_convs AS DOUBLE) AS weight, n_convs AS evidence
+         |FROM p JOIN ec ca ON ca.envo = p.envo_a JOIN ec cb ON cb.envo = p.envo_b
+         |ORDER BY subj, obj""".stripMargin,
     "e1_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
