@@ -23,7 +23,11 @@ object Bench {
     "a1_flat_agg", "a3_upui_keepfirst", "a6_topn_abundance",
     "j2_broadcast_dim_join", "j6_matmul_join_agg", "j_star_join",
     "d1_exact_dedup", "d6_ngram_jaccard", "d7_minhash_lsh",
-    "d8_simhash_pairs", "e1_cosine_topk", "e3_lsh_topk")
+    "d8_simhash_pairs", "e1_cosine_topk", "e3_lsh_topk",
+    // round-2 additions (keys only ADD to the r1 set — per-query
+    // comparability of the original 12 is preserved)
+    "d11_chunking", "d12_stratified_sample", "d14_pii_scrub",
+    "d15_repetition_signals")
 
   private def time[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()

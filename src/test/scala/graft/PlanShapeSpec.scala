@@ -85,6 +85,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d7's band signatures stay persisted (md5 pipeline must run once)") {
+    // regression guard for the round-2 2x fix: the band self-join consumes
+    // bands twice; without the persist the tokenize->12xmd5->minhash
+    // pipeline executes once per side (measured 16.7s vs 6.1s at sf0.1)
+    val p = plan(graft.ops.DocOps.minhashLshPairs(spark, dir))
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
   test("chunking and repetition signals are projection-only (no hash shuffle)") {
     // the only exchange allowed is the range partition of the output sort —
     // a hash exchange would mean the op secretly aggregates or joins
