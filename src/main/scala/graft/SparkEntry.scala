@@ -99,6 +99,29 @@ object SparkEntry {
           graft.stages.ScoreConfig(normalization = "flat", proportional = true))
         .select(col("conv_id"), col("envo"), col("score"))
         .orderBy("conv_id", "envo")),
+    // The scorer's upui normalization path (A2/A3: keep-first text dedupe,
+    // then keep-first tool dedupe with the null-tool bypass — the
+    // production Salting.keepFirstByAgg machinery) under the gate: docs
+    // grouped into 50 synthetic conversations, turn_idx = doc_id,
+    // text-duplicate class and tool derived deterministically from doc_id
+    // and mirrored verbatim in the oracle.
+    "o4_upui_scoring_restricted" -> ((s, d) => {
+      val rows = restrictedEnvoRows(s, d)
+        .withColumn("doc_id", col("conv_id").cast("bigint"))
+        .withColumn("conv_id", (col("doc_id") % 50).cast("string"))
+        .withColumn("turn_idx", col("doc_id").cast("int"))
+        // % 7, coprime with the 50 conv classes — % 5 would be constant
+        // within a conv and collapse every conversation to one turn
+        .withColumn("text_hash", col("doc_id") % 7)
+        .withColumn("tool",
+          when(col("doc_id") % 3 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("t"), (col("doc_id") % 3).cast("string"))))
+        .drop("doc_id")
+      graft.stages.LinkScore.score(s, rows, restrictedDict,
+          graft.stages.ScoreConfig(normalization = "upui", proportional = false))
+        .select(col("conv_id"), col("envo"), col("score"))
+        .orderBy("conv_id", "envo")
+    }),
     // O1→A4→co-occurrence→J7 canonicalization, the full KG edge chain on
     // the restricted dictionary — curies come from the same artifact the
     // oracle embeds as its (envo, curie) dim.
@@ -585,6 +608,34 @@ object SparkEntry {
          |SELECT occ.conv_id, occ.envo,
          |       CAST(occ.occ AS DOUBLE) / CAST(tot.total AS DOUBLE) AS score
          |FROM occ JOIN tot USING (conv_id) ORDER BY conv_id, envo""".stripMargin,
+    "o4_upui_scoring_restricted" ->
+      s"""WITH fe(form, envo) AS (VALUES
+         |$restrictedFormEnvoValues),
+         |t AS (SELECT doc_id, text ||
+         |  CASE doc_id % 5 WHEN 0 THEN ' the ocean meets the sea near the ocean'
+         |                  WHEN 1 THEN ' mud by the lake and garden mud'
+         |                  WHEN 2 THEN ' OCEAN stays blocked but pond counts'
+         |                  ELSE '' END AS t2
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(t2, '[^A-Za-z0-9]+'), x -> x <> '')) AS raw
+         |  FROM t),
+         |m AS (SELECT doc_id, lower(raw) AS form FROM tok
+         |  WHERE lower(raw) IN ('ocean', 'sea', 'lake', 'mud', 'garden', 'pond')
+         |    AND raw <> 'OCEAN'),
+         |r AS (SELECT doc_id % 50 AS conv, doc_id AS turn, doc_id % 7 AS th,
+         |         CASE WHEN doc_id % 3 = 0 THEN NULL
+         |              ELSE 't' || CAST(doc_id % 3 AS VARCHAR) END AS tool,
+         |         envo
+         |  FROM m JOIN fe USING (form)),
+         |s1 AS (SELECT conv, th, min(turn) AS mt FROM r GROUP BY 1, 2),
+         |k1 AS (SELECT r.* FROM r JOIN s1 ON r.conv = s1.conv AND r.th = s1.th AND r.turn = s1.mt),
+         |nulltool AS (SELECT * FROM k1 WHERE tool IS NULL),
+         |s2 AS (SELECT conv, tool, min(turn) AS mt FROM k1 WHERE tool IS NOT NULL GROUP BY 1, 2),
+         |k2 AS (SELECT k1.* FROM k1 JOIN s2 ON k1.conv = s2.conv AND k1.tool = s2.tool AND k1.turn = s2.mt),
+         |kept AS (SELECT * FROM nulltool UNION ALL SELECT * FROM k2)
+         |SELECT CAST(conv AS VARCHAR) AS conv_id, envo, CAST(count(*) AS DOUBLE) AS score
+         |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "o3_cooccurrence_restricted" ->
       s"""WITH fe(form, envo) AS (VALUES
          |$restrictedFormEnvoValues),
