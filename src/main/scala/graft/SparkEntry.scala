@@ -99,6 +99,16 @@ object SparkEntry {
           graft.stages.ScoreConfig(normalization = "flat", proportional = true))
         .select(col("conv_id"), col("envo"), col("score"))
         .orderBy("conv_id", "envo")),
+    // The scorer's backtracking path (A5: every occurrence also counts one
+    // occurrence of each ontology ancestor) under the gate — the closure
+    // rows for the restricted concepts are embedded in the oracle from the
+    // same loaded artifact.
+    "o5_backtracking_restricted" -> ((s, d) =>
+      graft.stages.LinkScore.score(s, restrictedEnvoRows(s, d), KgPipeline.sharedDict,
+          graft.stages.ScoreConfig(normalization = "flat", proportional = false,
+            backtracking = true))
+        .select(col("conv_id"), col("envo"), col("score"))
+        .orderBy("conv_id", "envo")),
     // The scorer's upui normalization path (A2/A3: keep-first text dedupe,
     // then keep-first tool dedupe with the null-tool bypass — the
     // production Salting.keepFirstByAgg machinery) under the gate: docs
@@ -247,6 +257,20 @@ object SparkEntry {
       .withColumn("text_hash", lit(0L))
       .withColumn("mention_pos", lit(0))
       .withColumn("end", col("start"))
+  }
+
+  /** (child, ancestor) closure VALUES rows for the restricted concepts —
+    * the oracle's copy of the backtracking closure dim. */
+  private def restrictedClosureValues: String = {
+    val full = KgPipeline.sharedDict
+    val envos = restrictedForms
+      .flatMap(f => full.formToSerials(f).flatMap(full.serialToEnvoInt.get)).distinct.sorted
+    val rows = for {
+      e <- envos
+      a <- full.closure.getOrElse(e, Array.empty[Int]).sorted
+    } yield s"  ($e, $a)"
+    require(rows.nonEmpty, "restricted concepts must have closure ancestors")
+    rows.mkString(",\n")
   }
 
   /** The e3 LSH hyperplanes as DuckDB VALUES rows — the SAME splitmix64
@@ -608,6 +632,29 @@ object SparkEntry {
          |SELECT occ.conv_id, occ.envo,
          |       CAST(occ.occ AS DOUBLE) / CAST(tot.total AS DOUBLE) AS score
          |FROM occ JOIN tot USING (conv_id) ORDER BY conv_id, envo""".stripMargin,
+    "o5_backtracking_restricted" ->
+      s"""WITH fe(form, envo) AS (VALUES
+         |$restrictedFormEnvoValues),
+         |cl(child, ancestor) AS (VALUES
+         |$restrictedClosureValues),
+         |t AS (SELECT doc_id, text ||
+         |  CASE doc_id % 5 WHEN 0 THEN ' the ocean meets the sea near the ocean'
+         |                  WHEN 1 THEN ' mud by the lake and garden mud'
+         |                  WHEN 2 THEN ' OCEAN stays blocked but pond counts'
+         |                  ELSE '' END AS t2
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(t2, '[^A-Za-z0-9]+'), x -> x <> '')) AS raw
+         |  FROM t),
+         |m AS (SELECT doc_id, lower(raw) AS form FROM tok
+         |  WHERE lower(raw) IN ('ocean', 'sea', 'lake', 'mud', 'garden', 'pond')
+         |    AND raw <> 'OCEAN'),
+         |base AS (SELECT CAST(doc_id AS VARCHAR) AS conv_id, envo FROM m JOIN fe USING (form)),
+         |allocc AS (SELECT conv_id, envo FROM base
+         |           UNION ALL
+         |           SELECT b.conv_id, cl.ancestor AS envo FROM base b JOIN cl ON b.envo = cl.child)
+         |SELECT conv_id, envo, CAST(count(*) AS DOUBLE) AS score
+         |FROM allocc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "o4_upui_scoring_restricted" ->
       s"""WITH fe(form, envo) AS (VALUES
          |$restrictedFormEnvoValues),
