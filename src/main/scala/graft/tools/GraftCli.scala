@@ -72,6 +72,8 @@ object GraftCli {
     val turnsAll = a.get("input") match {
       case Some(s) if s.startsWith("synth:") =>
         TranscriptGen.generate(spark, s.drop(6).toLong).toDF
+      case Some(path) if path.contains(".jsonl") =>
+        graft.sources.JsonlTranscripts.turns(spark, path).toDF
       case Some(path) => spark.read.parquet(path)
       case None =>
         // seqenv front door: FASTA (P8 cutoff) + outfmt-6 + BuildDims dims

@@ -84,6 +84,36 @@ class SourcesSpec extends SparkSpec {
     assert(scores.nonEmpty)
   }
 
+  test("JSONL transcript scan: typed turns, corrupt quarantine, gzip parity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val jsonl =
+      """{"conv_id":"c1","turn_idx":0,"role":"user","text":"the ocean","tool":null,"ts":"2026-01-01T10:00:00"}
+        |{"conv_id":"c1","turn_idx":1,"role":"assistant","text":"lake mud","tool":"search","ts":"2026-01-01T10:00:05"}
+        |this line is not json at all
+        |{"conv_id":"c2","turn_idx":0,"role":"user","text":"hi","tool":null,"ts":"2026-01-01T11:00:00"}
+        |""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/t.jsonl"),
+      jsonl.getBytes("UTF-8"))
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/t.jsonl.gz"))
+    gz.write(jsonl.getBytes("UTF-8")); gz.close()
+
+    val turns = graft.sources.JsonlTranscripts.turns(spark, s"$dir/t.jsonl")
+      .collect().sortBy(t => (t.conv_id, t.turn_idx))
+    assert(turns.length === 3)
+    assert(turns(1).tool === Some("search"))
+    assert(turns(0).text === "the ocean")
+    val corrupt = graft.sources.JsonlTranscripts.corrupt(spark, s"$dir/t.jsonl").collect()
+    assert(corrupt.length === 1 && corrupt(0).getString(0).startsWith("this line"))
+    val gzTurns = graft.sources.JsonlTranscripts.turns(spark, s"$dir/t.jsonl.gz")
+      .collect().sortBy(t => (t.conv_id, t.turn_idx))
+    assert(gzTurns.toSeq === turns.toSeq)
+    // and the turns drive the engine end to end
+    val r = new KgPipeline(spark).run(
+      graft.sources.JsonlTranscripts.turns(spark, s"$dir/t.jsonl").toDF)
+    assert(r.annotated.count() > 0)
+  }
+
   test("P1 rename projection: C0-based aliases in stable order (reference enumerate)") {
     val keys = Seq("OTU_5", "OTU_1", "OTU_3", "OTU_1").toDF("seq_id")
     val m = graft.ops.RelationalOps.renameKeys(spark, keys, "seq_id").collect()
