@@ -123,6 +123,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("chunking property: reconstruction holds across parameter combos") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq)
+      .toMap
+    for ((chunk, overlap) <- Seq((1, 0), (7, 0), (13, 5), (200, 40))) {
+      val chunks = DocOps.chunkDocs(spark, dir, chunkTokens = chunk, overlap = overlap)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3))).groupBy(_._1)
+      chunks.foreach { case (id, cs) =>
+        val ordered = cs.sortBy(_._2).map(_._3.split(' ').toSeq)
+        val stitched = ordered.head ++ ordered.tail.flatMap(_.drop(overlap))
+        assert(stitched === docs(id), s"doc $id chunk=$chunk overlap=$overlap")
+      }
+      assert(chunks.keySet === docs.keySet.filter(docs(_).nonEmpty))
+    }
+    intercept[IllegalArgumentException] {
+      DocOps.chunkDocs(spark, dir, chunkTokens = 10, overlap = 10)
+    }
+  }
+
   test("stratified sample: deterministic, strata rates honored") {
     val s1 = DocOps.stratifiedSample(spark, dir).collect().map(_.toSeq)
     val s2 = DocOps.stratifiedSample(spark, dir).collect().map(_.toSeq)
