@@ -128,7 +128,11 @@ object Bench {
       .flatMap(i => TranscriptGen.turnsFor(i, 42L, 6, 1, verbosity = 6).map(_.text))
       .take(60000).toArray
     rawCpuProbe(math.min(cpus, 16), probeTexts, minSec = 0.5) // JIT warmup
-    val spans = Seq((2, 8), (4, 16)).filter(_._2 <= cpus)
+    // fallback for cpus < 8: a (cpus/4, cpus) span — an empty span list
+    // would crash spanEffs.maxBy after the whole headline pass
+    val spans0 = Seq((2, 8), (4, 16)).filter(_._2 <= cpus)
+    val spans = if (spans0.nonEmpty) spans0
+      else Seq((math.max(1, cpus / 4), math.max(2, cpus)))
 
     // ---- part 1: headline operator queries ----
     val spark = Sessions.local(cpus, shufflePartitions = cpus, appName = "graft-bench")

@@ -71,6 +71,19 @@ final class KgPipeline(spark: SparkSession, cfg: PipelineConfig = PipelineConfig
       val planKey = turns.queryExecution.analyzed.canonicalized.collect {
         case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
           s"LocalRelation(${lr.schema.catalogString},rows=${lr.data.hashCode})"
+        // simpleString for file relations is just "Relation[cols] parquet" —
+        // NO path — so two same-schema inputs would fingerprint identically
+        // and stale resume would be served silently. Root paths restore the
+        // input identity (still lineage-only, no data scan).
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          val loc = lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.mkString(",")
+            case other => other.toString
+          }
+          s"Relation(${lr.schema.catalogString},$loc)"
+        case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          s"DSv2(${v2.schema.catalogString},${v2.name})"
         case node => node.simpleString(200)
       }.mkString("\n")
       val key = s"$planKey|${cfg.score}|${cfg.evidenceCap}|${cfg.dedupeTexts}"

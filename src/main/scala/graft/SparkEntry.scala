@@ -209,6 +209,20 @@ object SparkEntry {
     full.copy(formToSerials = full.formToSerials.filter(kv => restrictedForms.contains(kv._1)))
   }
 
+  /** The SQL predicate mirroring the engine's raw-slice case-sensitive
+    * stoplist for the restricted forms: every cased stoplist variant of the
+    * six forms (GARDEN/Garden/LAKE/OCEAN/POND/Pond/SEA in the shipped
+    * artifact) must be excluded by the oracle exactly as the automaton
+    * blocks it — mirroring only the injected 'OCEAN' would go hash-red the
+    * moment a document carries any other cased variant. */
+  private def restrictedStopPredicate: String = {
+    val full = KgPipeline.sharedDict
+    val variants = full.stoplist.filter(s => restrictedForms.contains(s.toLowerCase)).toSeq.sorted
+    require(variants.nonEmpty && !variants.exists(v => v == v.toLowerCase),
+      "restricted forms must not be stoplisted in lowercase (the engine would never tag them)")
+    s"raw NOT IN (${variants.map(v => s"'$v'").mkString(", ")})"
+  }
+
   /** Deterministic EnvO-word injection for o1/o2 (the synthetic documents
     * vocabulary contains no un-stoplisted surface form) — mirrored verbatim
     * as a CASE in the oracles. */
@@ -536,7 +550,7 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
         |  FROM documents),
-        |s AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 40)) AS s
+        |s AS (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 10, 1) + 1, 40)) AS s
         |  FROM t WHERE len(toks) > 0)
         |SELECT doc_id, (s - 1) // 40 AS chunk_idx,
         |  len(list_slice(toks, s, s + 49)) AS n_tokens,
@@ -597,7 +611,7 @@ object SparkEntry {
         |    ELSE CAST(0.0 AS DOUBLE) END AS dup_4gram_frac
         |FROM g ORDER BY doc_id""".stripMargin,
     "o1_tagger_restricted" ->
-      """WITH t AS (SELECT doc_id, text ||
+      s"""WITH t AS (SELECT doc_id, text ||
         |  CASE doc_id % 5 WHEN 0 THEN ' the ocean meets the sea near the ocean'
         |                  WHEN 1 THEN ' mud by the lake and garden mud'
         |                  WHEN 2 THEN ' OCEAN stays blocked but pond counts'
@@ -609,7 +623,7 @@ object SparkEntry {
         |SELECT doc_id, lower(raw) AS form, count(*) AS n
         |FROM tok
         |WHERE lower(raw) IN ('ocean', 'sea', 'lake', 'mud', 'garden', 'pond')
-        |  AND raw <> 'OCEAN'
+        |  AND $restrictedStopPredicate
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "o2_scoring_restricted" ->
       s"""WITH fe(form, envo) AS (VALUES
@@ -625,7 +639,7 @@ object SparkEntry {
          |  FROM t),
          |m AS (SELECT doc_id, lower(raw) AS form FROM tok
          |  WHERE lower(raw) IN ('ocean', 'sea', 'lake', 'mud', 'garden', 'pond')
-         |    AND raw <> 'OCEAN'),
+         |    AND $restrictedStopPredicate),
          |occ AS (SELECT CAST(doc_id AS VARCHAR) AS conv_id, envo, count(*) AS occ
          |  FROM m JOIN fe USING (form) GROUP BY 1, 2),
          |tot AS (SELECT conv_id, sum(occ) AS total FROM occ GROUP BY 1)
@@ -648,7 +662,7 @@ object SparkEntry {
          |  FROM t),
          |m AS (SELECT doc_id, lower(raw) AS form FROM tok
          |  WHERE lower(raw) IN ('ocean', 'sea', 'lake', 'mud', 'garden', 'pond')
-         |    AND raw <> 'OCEAN'),
+         |    AND $restrictedStopPredicate),
          |base AS (SELECT CAST(doc_id AS VARCHAR) AS conv_id, envo FROM m JOIN fe USING (form)),
          |allocc AS (SELECT conv_id, envo FROM base
          |           UNION ALL
@@ -669,7 +683,7 @@ object SparkEntry {
          |  FROM t),
          |m AS (SELECT doc_id, lower(raw) AS form FROM tok
          |  WHERE lower(raw) IN ('ocean', 'sea', 'lake', 'mud', 'garden', 'pond')
-         |    AND raw <> 'OCEAN'),
+         |    AND $restrictedStopPredicate),
          |r AS (SELECT doc_id % 50 AS conv, doc_id AS turn, doc_id % 7 AS th,
          |         CASE WHEN doc_id % 3 = 0 THEN NULL
          |              ELSE 't' || CAST(doc_id % 3 AS VARCHAR) END AS tool,
@@ -699,7 +713,7 @@ object SparkEntry {
          |  FROM t),
          |m AS (SELECT doc_id, lower(raw) AS form FROM tok
          |  WHERE lower(raw) IN ('ocean', 'sea', 'lake', 'mud', 'garden', 'pond')
-         |    AND raw <> 'OCEAN'),
+         |    AND $restrictedStopPredicate),
          |de AS (SELECT DISTINCT doc_id, envo FROM m JOIN fe USING (form)),
          |p AS (SELECT a.envo AS envo_a, b.envo AS envo_b, count(*) AS n_convs
          |  FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.envo < b.envo

@@ -220,11 +220,16 @@ object DocOps {
                 overlap: Int = 10): DataFrame = {
     require(overlap < chunkTokens, "overlap must be smaller than the chunk")
     val stride = chunkTokens - overlap
+    // window starts stop at size-overlap: a start inside the final overlap
+    // carry would emit a chunk made ENTIRELY of already-emitted tokens
+    // (~overlap/stride of all docs at defaults) — duplicate training data
+    // from the op meant to prevent it. Every chunk thus carries ≥1 new
+    // token, and the last chunk still reaches the final token.
     docs(spark, dir)
       .withColumn("toks", toks)
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(toks), $stride), " +
+        s"transform(sequence(1, greatest(size(toks) - $overlap, 1), $stride), " +
           s"s -> struct(concat_ws(' ', slice(toks, s, $chunkTokens)) AS chunk_text, " +
           s"size(slice(toks, s, $chunkTokens)) AS n_tokens))"))
         .as(Seq("chunk_idx", "c")))

@@ -131,13 +131,21 @@ object MultimodalOps {
                       Seq(8000, 16000, 24000, 32000, 40000, 44100, 48000)): DataFrame = {
     val visual = col("kind").isin("image", "video")
     val timed = col("kind").isin("audio", "video")
+    // NULL metadata must REJECT, not pass: a null width makes `width < 1`
+    // NULL, when() skips the branch, and the metadata-missing rows a
+    // decoder would choke on sail through the gate — null-check first.
+    val missingMeta =
+      (visual && (col("width").isNull || col("height").isNull)) ||
+        (timed && col("duration_ms").isNull) ||
+        (col("kind") === "audio" && col("sample_rate").isNull)
     val badDims = visual && (col("width") < 1 || col("height") < 1 ||
       col("width") > maxDim || col("height") > maxDim)
     val badDuration = timed && (col("duration_ms") < 1 || col("duration_ms") > maxDurationMs)
     val badRate = (col("kind") === "audio") && !col("sample_rate").isin(allowedRates.map(Integer.valueOf): _*)
     media
       .withColumn("reject_reason",
-        when(badDims, "bad_dims")
+        when(missingMeta, "missing_metadata")
+          .when(badDims, "bad_dims")
           .when(badDuration, "bad_duration")
           .when(badRate, "bad_sample_rate")
           .otherwise(lit(null).cast("string")))
@@ -155,6 +163,7 @@ object MultimodalOps {
         sum(when(col("reject_reason") === "bad_dims", 1L).otherwise(0L)).as("n_bad_dims"),
         sum(when(col("reject_reason") === "bad_duration", 1L).otherwise(0L)).as("n_bad_duration"),
         sum(when(col("reject_reason") === "bad_sample_rate", 1L).otherwise(0L)).as("n_bad_rate"),
+        sum(when(col("reject_reason") === "missing_metadata", 1L).otherwise(0L)).as("n_missing_meta"),
         min(when(col("valid"), col("duration_ms"))).as("min_valid_duration_ms"),
         max(when(col("valid"), col("duration_ms"))).as("max_valid_duration_ms"),
         max("width").as("max_width"),

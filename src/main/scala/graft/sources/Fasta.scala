@@ -22,7 +22,12 @@ import org.apache.spark.sql.functions._
 object Fasta {
 
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("lineSep", ">").text(path)
+    // records are delimited by LINE-INITIAL '>' ("\n>"), matching
+    // SeqIO.parse — a bare '>' lineSep would split mid-line on deflines
+    // containing '>' (e.g. "5'->3'") and fabricate bogus records. The first
+    // record keeps its leading '>' (no preceding newline); strip it.
+    spark.read.option("lineSep", "\n>").text(path)
+      .select(regexp_replace(col("value"), "^>", "").as("value"))
       .filter(length(trim(col("value"))) > 0)
       .select(
         regexp_extract(col("value"), "^(\\S+)", 1).as("seq_id"),

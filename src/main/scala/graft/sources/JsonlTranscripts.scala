@@ -49,13 +49,17 @@ object JsonlTranscripts {
       .as[Turn]
   }
 
-  /** The quarantined malformed lines (for audit/repair — never silently
-    * dropped). Keeps `conv_id` (null for corrupt rows) alongside the raw
-    * line: Spark refuses scans whose referenced columns are ONLY the
-    * internal corrupt-record column (UNSUPPORTED_FEATURE.QUERY_ONLY_
-    * CORRUPT_RECORD_COLUMN). */
+  /** The quarantine (for audit/repair — never silently dropped): malformed
+    * lines AND well-formed rows missing the required conv_id — the latter
+    * parse cleanly, so they carry no `_corrupt_record`, but `turns()` drops
+    * them and they would otherwise vanish without a trace. (Selecting a
+    * real column alongside the corrupt one is also required: Spark refuses
+    * scans referencing ONLY the internal corrupt-record column.) */
   def corrupt(spark: SparkSession, path: String): DataFrame =
     read(spark, path)
-      .select(col("_corrupt_record"), col("conv_id"))
-      .filter(col("_corrupt_record").isNotNull)
+      .select(
+        when(col("_corrupt_record").isNotNull, lit("malformed_json"))
+          .when(col("conv_id").isNull, lit("missing_conv_id")).as("reason"),
+        col("_corrupt_record"), col("conv_id"), col("text"))
+      .filter(col("reason").isNotNull)
 }

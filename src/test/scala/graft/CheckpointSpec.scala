@@ -64,4 +64,21 @@ class CheckpointSpec extends SparkSpec {
       new KgPipeline(spark, cfgUi).run(turns).scores.count()
     }
   }
+
+  test("stale resume fails for FILE inputs too: same schema, different path") {
+    // LogicalRelation.simpleString carries NO file path, so a schema-only
+    // fingerprint would serve a.parquet's stages against b.parquet silently
+    // — the fingerprint must include the relation's root paths
+    val base = Files.createTempDirectory("graft-ckpt3").toString
+    (0L until 10L).flatMap(i => TranscriptGen.turnsFor(i, 3L, 5, 5)).toDS.toDF
+      .write.parquet(s"$base/a")
+    (50L until 60L).flatMap(i => TranscriptGen.turnsFor(i, 3L, 5, 5)).toDS.toDF
+      .write.parquet(s"$base/b")
+    val cfgd = PipelineConfig(checkpointDir = Some(s"$base/ckpt"))
+    new KgPipeline(spark, cfgd).run(spark.read.parquet(s"$base/a")).scores.count()
+    val ex = intercept[IllegalStateException] {
+      new KgPipeline(spark, cfgd).run(spark.read.parquet(s"$base/b")).scores.count()
+    }
+    assert(ex.getMessage.contains("fingerprint"))
+  }
 }

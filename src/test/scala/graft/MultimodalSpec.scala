@@ -41,6 +41,25 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs === Set((17L, 68L), (34L, 85L)))
   }
 
+  test("metadata validation rejects NULL metadata instead of passing it") {
+    // null width/duration/rate made the reject predicates NULL, so when()
+    // skipped every branch and metadata-missing rows sailed through
+    val media = MultimodalOps.synthMedia(spark, 30).toDF()
+      .withColumn("width",
+        when(col("media_id") === 0, lit(null).cast("int")).otherwise(col("width")))        // image
+      .withColumn("sample_rate",
+        when(col("media_id") === 1, lit(null).cast("int")).otherwise(col("sample_rate")))  // audio
+      .withColumn("duration_ms",
+        when(col("media_id") === 2, lit(null).cast("int")).otherwise(col("duration_ms")))  // video
+    val v = MultimodalOps.validateMedia(media)
+      .select("media_id", "reject_reason").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(v(0L) === Some("missing_metadata"))
+    assert(v(1L) === Some("missing_metadata"))
+    assert(v(2L) === Some("missing_metadata"))
+    assert(v(3L) === None) // intact metadata still valid
+  }
+
   test("metadata validation: per-kind rules, reject reasons, stats add up") {
     val media = MultimodalOps.synthMedia(spark, 300).toDF()
       .withColumn("width",

@@ -135,6 +135,10 @@ class OpsSpec extends SparkSpec {
         val ordered = cs.sortBy(_._2).map(_._3.split(' ').toSeq)
         val stitched = ordered.head ++ ordered.tail.flatMap(_.drop(overlap))
         assert(stitched === docs(id), s"doc $id chunk=$chunk overlap=$overlap")
+        // no fully-redundant tails: every chunk past the first must carry
+        // at least one NEW token beyond its overlap carry
+        ordered.tail.foreach(c =>
+          assert(c.length > overlap, s"doc $id redundant tail chunk=$chunk overlap=$overlap"))
       }
       assert(chunks.keySet === docs.keySet.filter(docs(_).nonEmpty))
     }

@@ -56,6 +56,22 @@ class SourcesSpec extends SparkSpec {
     assert(gzipped.map(_.toSeq).toSeq === plain.map(_.toSeq).toSeq)
   }
 
+  test("FASTA scan: '>' inside a defline does not split the record") {
+    val dir = Files.createTempDirectory("graft-fa2").toString
+    // SeqIO starts records only at LINE-INITIAL '>' — a bare '>' delimiter
+    // would fabricate a bogus record out of this defline
+    val fasta = Seq(
+      ">C1 linker 5'->3' construct",
+      "ACGTACGT",
+      ">C2 plain", "TTTT").mkString("\n")
+    Files.writeString(Paths.get(s"$dir/in.fasta"), fasta)
+    val rows = graft.sources.Fasta.read(spark, s"$dir/in.fasta")
+      .orderBy("seq_id").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("C1", "C2"))
+    assert(rows.head.getString(1) === "linker 5'->3' construct")
+    assert(rows.map(_.getString(2)).toSeq === Seq("ACGTACGT", "TTTT"))
+  }
+
   test("FASTA front door end to end: fasta -> outfmt6 -> BioAdapter -> scores") {
     import graft.stages.ScoreConfig
     val dir = Files.createTempDirectory("graft-fae2e").toString
@@ -90,6 +106,7 @@ class SourcesSpec extends SparkSpec {
       """{"conv_id":"c1","turn_idx":0,"role":"user","text":"the ocean","tool":null,"ts":"2026-01-01T10:00:00"}
         |{"conv_id":"c1","turn_idx":1,"role":"assistant","text":"lake mud","tool":"search","ts":"2026-01-01T10:00:05"}
         |this line is not json at all
+        |{"turn_idx":9,"role":"user","text":"no conv id","ts":"2026-01-01T12:00:00"}
         |{"conv_id":"c2","turn_idx":0,"role":"user","text":"hi","tool":null,"ts":"2026-01-01T11:00:00"}
         |""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/t.jsonl"),
@@ -103,8 +120,12 @@ class SourcesSpec extends SparkSpec {
     assert(turns.length === 3)
     assert(turns(1).tool === Some("search"))
     assert(turns(0).text === "the ocean")
-    val corrupt = graft.sources.JsonlTranscripts.corrupt(spark, s"$dir/t.jsonl").collect()
-    assert(corrupt.length === 1 && corrupt(0).getString(0).startsWith("this line"))
+    // the quarantine catches BOTH failure classes — malformed json and
+    // well-formed rows missing conv_id (which turns() drops)
+    val corrupt = graft.sources.JsonlTranscripts.corrupt(spark, s"$dir/t.jsonl")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).sortBy(_._1)
+    assert(corrupt.map(_._1).toSeq === Seq("malformed_json", "missing_conv_id"))
+    assert(corrupt.head._2.get.startsWith("this line"))
     val gzTurns = graft.sources.JsonlTranscripts.turns(spark, s"$dir/t.jsonl.gz")
       .collect().sortBy(t => (t.conv_id, t.turn_idx))
     assert(gzTurns.toSeq === turns.toSeq)
