@@ -305,9 +305,15 @@ object DocOps {
     * duplicate word n-grams per document for n = 2, 3, 4 — high values mean
     * degenerate, loop-generated, or boilerplate text. Projection-only. */
   def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    // guarded like withShingles/chunkDocs: sequence(1, 0) in Spark is the
+    // DESCENDING [1, 0], not empty, so an unguarded transform would call
+    // element_at(toks, 0) and crash on any doc with fewer than n tokens —
+    // the empty-array branch matches the oracle's exclusive range()
     def grams(n: Int): Column = expr(
-      s"transform(sequence(1, greatest(size(toks) - ${n - 1}, 0)), " +
-        s"i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(toks, i+$j)").mkString(", ")}))")
+      s"case when size(toks) >= $n then " +
+        s"transform(sequence(1, size(toks) - ${n - 1}), " +
+        s"i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(toks, i+$j)").mkString(", ")})) " +
+        s"else array() end")
     def dupFrac(n: Int): Column = {
       val g = grams(n)
       when(size(g) > 0,

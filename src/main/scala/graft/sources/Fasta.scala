@@ -30,8 +30,10 @@ object Fasta {
       .select(regexp_replace(col("value"), "^>", "").as("value"))
       .filter(length(trim(col("value"))) > 0)
       .select(
+        // [^\n\r]: CRLF FASTA ends deflines "\r\n" and Spark's trim() strips
+        // spaces only — an unanchored capture would keep the trailing \r
         regexp_extract(col("value"), "^(\\S+)", 1).as("seq_id"),
-        trim(regexp_extract(col("value"), "^\\S*[ \\t]*([^\\n]*)", 1)).as("description"),
+        trim(regexp_extract(col("value"), "^\\S*[ \\t]*([^\\n\\r]*)", 1)).as("description"),
         regexp_replace(regexp_replace(col("value"), "^[^\\n]*\\n?", ""), "\\s+", "")
           .as("sequence"))
       .filter(col("seq_id") =!= "")

@@ -44,7 +44,13 @@ object JsonlTranscripts {
   def turns(spark: SparkSession, path: String): Dataset[Turn] = {
     import spark.implicits._
     read(spark, path)
-      .filter(col("_corrupt_record").isNull && col("conv_id").isNotNull)
+      // turn_idx is the one PRIMITIVE (non-nullable) Turn field: a
+      // well-formed line missing it parses cleanly, so without this filter
+      // it would pass quarantine and then kill the job at Dataset encoding
+      // time ("Null value appeared in non-nullable field") — the exact
+      // one-bad-line-kills-the-job failure this source exists to prevent
+      .filter(col("_corrupt_record").isNull && col("conv_id").isNotNull &&
+        col("turn_idx").isNotNull)
       .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
       .as[Turn]
   }
@@ -59,7 +65,8 @@ object JsonlTranscripts {
     read(spark, path)
       .select(
         when(col("_corrupt_record").isNotNull, lit("malformed_json"))
-          .when(col("conv_id").isNull, lit("missing_conv_id")).as("reason"),
+          .when(col("conv_id").isNull, lit("missing_conv_id"))
+          .when(col("turn_idx").isNull, lit("missing_turn_idx")).as("reason"),
         col("_corrupt_record"), col("conv_id"), col("text"))
       .filter(col("reason").isNotNull)
 }

@@ -72,7 +72,9 @@ object GraftCli {
     val turnsAll = a.get("input") match {
       case Some(s) if s.startsWith("synth:") =>
         TranscriptGen.generate(spark, s.drop(6).toLong).toDF
-      case Some(path) if path.contains(".jsonl") =>
+      // suffix match, not contains: a parquet dir named ".../run.jsonl_export/"
+      // must not be misrouted to the JSONL reader (silent zero valid turns)
+      case Some(path) if path.endsWith(".jsonl") || path.endsWith(".jsonl.gz") =>
         graft.sources.JsonlTranscripts.turns(spark, path).toDF
       case Some(path) => spark.read.parquet(path)
       case None =>

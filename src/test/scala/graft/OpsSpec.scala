@@ -219,6 +219,26 @@ class OpsSpec extends SparkSpec {
     assert(rows.exists(_._2 > 0.0), "corpus should show some bigram repetition")
   }
 
+  test("repetition signals: docs shorter than n tokens yield 0.0, not a crash") {
+    import spark.implicits._
+    // sequence(1, 0) in Spark is the DESCENDING [1, 0] — unguarded, any doc
+    // with < n tokens made the n-gram transform call element_at(toks, 0)
+    // and fail the whole query (INVALID_ARRAY_INDEX_IN_ELEMENT_AT)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-short").toString
+    Seq((0L, ""), (1L, "one"), (2L, "one two"), (3L, "one two three"),
+      (4L, "one two three four"), (5L, "aa aa aa aa aa aa"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = DocOps.repetitionSignals(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows(0L) === ((0.0, 0.0, 0.0)))
+    assert(rows(1L) === ((0.0, 0.0, 0.0)))
+    assert(rows(2L) === ((0.0, 0.0, 0.0)), "one bigram is trivially distinct")
+    assert(rows(3L)._2 === 0.0 && rows(3L)._3 === 0.0)
+    assert(rows(4L)._3 === 0.0, "exactly one 4-gram")
+    assert(rows(5L)._1 === 0.8, "aa-soup: 5 bigrams, 1 distinct")
+  }
+
   test("HLL approx distinct within its relative standard deviation bound") {
     graft.ops.RelationalOps.approxDistinct(spark, dir, rsd = 0.02).collect().foreach { r =>
       val (exact, approx) = (r.getLong(1), r.getLong(2))

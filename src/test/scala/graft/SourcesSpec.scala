@@ -72,6 +72,26 @@ class SourcesSpec extends SparkSpec {
     assert(rows.map(_.getString(2)).toSeq === Seq("ACGTACGT", "TTTT"))
   }
 
+  test("FASTA scan: CRLF line endings parse identically to LF") {
+    val dir = Files.createTempDirectory("graft-fa3").toString
+    val records = Seq(
+      ">C1 first sequence", "ACGTACGT", "ACGT",
+      ">C2 second", "TTTT")
+    Files.writeString(Paths.get(s"$dir/lf.fasta"), records.mkString("\n"))
+    // CRLF FASTA: "\r\n>" still contains the "\n>" record separator, but
+    // every line now carries a trailing \r that must not leak into any
+    // column (Spark's trim strips spaces only, not \r)
+    Files.writeString(Paths.get(s"$dir/crlf.fasta"), records.mkString("\r\n"))
+    val lf = graft.sources.Fasta.read(spark, s"$dir/lf.fasta")
+      .orderBy("seq_id").collect()
+    val crlf = graft.sources.Fasta.read(spark, s"$dir/crlf.fasta")
+      .orderBy("seq_id").collect()
+    assert(crlf.map(_.toSeq).toSeq === lf.map(_.toSeq).toSeq)
+    assert(crlf.map(_.getString(0)).toSeq === Seq("C1", "C2"))
+    assert(crlf.head.getString(1) === "first sequence")
+    assert(crlf.map(_.getString(2)).toSeq === Seq("ACGTACGTACGT", "TTTT"))
+  }
+
   test("FASTA front door end to end: fasta -> outfmt6 -> BioAdapter -> scores") {
     import graft.stages.ScoreConfig
     val dir = Files.createTempDirectory("graft-fae2e").toString
@@ -107,6 +127,7 @@ class SourcesSpec extends SparkSpec {
         |{"conv_id":"c1","turn_idx":1,"role":"assistant","text":"lake mud","tool":"search","ts":"2026-01-01T10:00:05"}
         |this line is not json at all
         |{"turn_idx":9,"role":"user","text":"no conv id","ts":"2026-01-01T12:00:00"}
+        |{"conv_id":"c9","role":"user","text":"no turn idx","ts":"2026-01-01T12:30:00"}
         |{"conv_id":"c2","turn_idx":0,"role":"user","text":"hi","tool":null,"ts":"2026-01-01T11:00:00"}
         |""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/t.jsonl"),
@@ -120,11 +141,14 @@ class SourcesSpec extends SparkSpec {
     assert(turns.length === 3)
     assert(turns(1).tool === Some("search"))
     assert(turns(0).text === "the ocean")
-    // the quarantine catches BOTH failure classes — malformed json and
-    // well-formed rows missing conv_id (which turns() drops)
+    // the quarantine catches ALL THREE failure classes — malformed json,
+    // well-formed rows missing conv_id, and well-formed rows missing
+    // turn_idx (the non-nullable Int: unfiltered, one such line kills the
+    // whole job at Dataset[Turn] encoding time)
     val corrupt = graft.sources.JsonlTranscripts.corrupt(spark, s"$dir/t.jsonl")
       .collect().map(r => (r.getString(0), Option(r.getString(1)))).sortBy(_._1)
-    assert(corrupt.map(_._1).toSeq === Seq("malformed_json", "missing_conv_id"))
+    assert(corrupt.map(_._1).toSeq ===
+      Seq("malformed_json", "missing_conv_id", "missing_turn_idx"))
     assert(corrupt.head._2.get.startsWith("this line"))
     val gzTurns = graft.sources.JsonlTranscripts.turns(spark, s"$dir/t.jsonl.gz")
       .collect().sortBy(t => (t.conv_id, t.turn_idx))
