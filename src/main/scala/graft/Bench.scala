@@ -138,10 +138,20 @@ object Bench {
     val spark = Sessions.local(cpus, shufflePartitions = cpus, appName = "graft-bench")
     // session/codegen warmup so the first headline query isn't charged for it
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // best-of-2 per query with the cache cleared between runs (QueryTime's
+    // protocol): a single cold run charges first-run codegen/JIT to the
+    // query, which made a real 2x improvement look like a regression in
+    // round 2's artifact. Clearing the cache keeps op-internal persists
+    // from serving the second run — it re-executes the full plan, warm-JIT.
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val (_, sec) = time { try fn(spark, sfDir).count() catch { case _: Throwable => -1L } }
-        name -> sec
+        def once(): Double = {
+          val (_, sec) = time { try fn(spark, sfDir).count() catch { case _: Throwable => -1L } }
+          spark.sharedState.cacheManager.clearCache()
+          sec
+        }
+        val warm = math.min(once(), once())
+        name -> warm
       }
     }
 
@@ -180,24 +190,39 @@ object Bench {
     val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "8").toInt
     val pairs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
     def eff(p: (Long, Long, Double, Double)): Double =
-      math.min(1.0, (p._3 / p._4) / (highCpus.toDouble / lowCpus))
+      (p._3 / p._4) / (highCpus.toDouble / lowCpus)
+    // a pair whose UNCAPPED efficiency exceeds 1.0 is physically impossible
+    // (4x cores can't beat 4x speedup) — it means host steal hit only the
+    // low-core half. That's evidence of CONTAMINATION, not of good scaling:
+    // such pairs are discarded, never reported, and never satisfy the exit
+    // (round 2 published exactly one such pair capped to 1.000 — useless as
+    // evidence). Valid pairs need eff in (0, 1.0].
+    def valid = pairs.filter(p => eff(p) <= 1.0)
     def bestPair = {
-      val minTotal = pairs.map(p => p._3 + p._4).min
-      pairs.filter(p => p._3 + p._4 <= minTotal * 1.08).maxBy(eff)
+      val minTotal = valid.map(p => p._3 + p._4).min
+      valid.filter(p => p._3 + p._4 <= minTotal * 1.08).maxBy(eff)
     }
-    while (pairs.length < maxPairs && (pairs.isEmpty || eff(bestPair) < 0.8)) {
+    // ≥2 pairs always: a single-pair artifact can't show the measurement is
+    // repeatable even when it's clean
+    while (pairs.length < maxPairs &&
+           (pairs.length < 2 || valid.isEmpty || eff(bestPair) < 0.8)) {
       val (_, _, sl) = kgRun(lowCpus, turnsPath, iters = 1)
       val (nt, tri, sh) = kgRun(highCpus, turnsPath, iters = 1)
       pairs += ((nt, tri, sl, sh))
+      if (eff(pairs.last) > 1.0)
+        System.err.println(f"[bench] pair ${pairs.length} discarded: uncapped " +
+          f"efficiency ${eff(pairs.last)}%.3f > 1.0 (steal-contaminated low-core run)")
     }
-    // ALL reported fields come from the single selected pair, so
+    // ALL reported fields come from the single selected CLEAN pair, so
     // sec/tput/efficiency are internally consistent; every raw pair is
-    // published alongside so the selection is auditable
+    // published alongside so the selection is auditable. If every pair came
+    // back contaminated (all-steal host phase), fail loudly rather than
+    // publish a fabricated number.
+    require(valid.nonEmpty,
+      s"all $maxPairs bench pairs were steal-contaminated (uncapped eff > 1.0) — rerun on a quieter host")
     val (nTurns, nTriples, secLow, secHigh) = bestPair
     val tputLow = nTriples / secLow
     val tputHigh = nTriples / secHigh
-    // eff caps at 1.0: super-unitary ratios are physically impossible and
-    // mean steal hit only the low-core half
     val efficiency = eff(bestPair)
 
     // raw (no-Spark) hardware ceiling of the same span, probed right after

@@ -158,15 +158,23 @@ object EmbedOps {
     * arrays, computed once on the driver (splitmix64-seeded, reproducible
     * on any cluster). The exploded bucket rows carry two scalar columns
     * ONLY — bucket shuffles never move the embedding arrays. */
-  private def signBuckets(e: DataFrame, dim: Int, nPlanes: Int, nTables: Int): DataFrame = {
+  private def signBuckets(e: DataFrame, dim: Int, nPlanes: Int, nTables: Int): DataFrame =
+    signBucketsFor(e, "vec_id", "embedding", dim, nPlanes, nTables)
+
+  /** Generalized sign-bucketing over any (id, vector) frame — the shared
+    * machinery behind lshTopK/lshNearDupPairs and the media-feature near-dup
+    * path (MultimodalOps.featureNearDup): any float-vector column buckets
+    * the same way. Output: (idCol, bucket) — two scalars, never the vector. */
+  private[graft] def signBucketsFor(df: DataFrame, idCol: String, vecCol: String,
+                                    dim: Int, nPlanes: Int, nTables: Int): DataFrame = {
     def bucketKey(table: Int): Column = {
       val signs = (0 until nPlanes).map { p =>
-        when(litDot(col("embedding"), planeComponents(table, p, dim)) >= 0, lit(1))
+        when(litDot(col(vecCol), planeComponents(table, p, dim)) >= 0, lit(1))
           .otherwise(lit(0)).cast("string")
       }
       concat(lit(s"t$table:") +: signs: _*)
     }
-    e.select(col("vec_id"), explode(array((0 until nTables).map(bucketKey): _*)).as("bucket"))
+    df.select(col(idCol), explode(array((0 until nTables).map(bucketKey): _*)).as("bucket"))
   }
 
   /** LSH-bucketed near-duplicate pairs — the scale path for the brute-force

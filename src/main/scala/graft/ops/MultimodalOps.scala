@@ -100,19 +100,56 @@ object MultimodalOps {
       .agg(min("media_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("payload_hash")
 
-  /** Near-dup by feature cosine over the stubbed embeddings — exercises the
-    * same brute-force + threshold plan as EmbedOps on real vectors. */
+  private def featureCosine(a: org.apache.spark.sql.Column,
+                            b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val dot = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Near-dup media by feature cosine — the SCALE path: candidates share an
+    * LSH sign-bucket in ≥1 of nTables hash tables (the same EmbedOps
+    * machinery as e5 — bucket equi-join, never all-pairs), then exact-cosine
+    * verified. At threshold 0.999 (θ ≤ 2.6°) per-plane agreement is
+    * 1 - θ/π ≈ 0.99, so 8 planes × 4 tables give per-pair miss probability
+    * ≈ (1 - 0.99⁸)⁴ < 10⁻³ — and exact-duplicate payloads (identical
+    * feature vectors, the dominant real case) share ALL buckets, recall 1.
+    * MultimodalSpec asserts parity against the brute baseline;
+    * PlanShapeSpec asserts the physical plan has no cartesian product. */
   def featureNearDup(spark: SparkSession, features: Dataset[MediaFeature],
-                     threshold: Double = 0.999): DataFrame = {
+                     threshold: Double = 0.999, nPlanes: Int = 8,
+                     nTables: Int = 4): DataFrame = {
     val f = features.toDF().select(col("media_id"), col("feature"))
-    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
+      // both the bucket projection and the two verify-side joins read the
+      // feature frame — and its upstream (decode in mapPartitions) must not
+      // re-run per reference
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dim = features.head().feature.length
+    val buckets = EmbedOps.signBucketsFor(f, "media_id", "feature", dim, nPlanes, nTables)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = buckets.toDF("media_a", "bucket")
+      .join(buckets.toDF("media_b", "bucket"), Seq("bucket"))
+      .filter(col("media_a") < col("media_b"))
+      .select("media_a", "media_b").distinct()
+    candIds
+      .join(f.toDF("media_a", "fa"), Seq("media_a"))
+      .join(f.toDF("media_b", "fb"), Seq("media_b"))
+      .withColumn("cosine", featureCosine(col("fa"), col("fb")))
+      .filter(col("cosine") >= threshold)
+      .select("media_a", "media_b", "cosine")
+      .orderBy("media_a", "media_b")
+  }
+
+  /** Brute-force feature near-dup — the quadratic CORRECTNESS BASELINE the
+    * LSH path is tested against (MultimodalSpec); never the driver query. */
+  private[graft] def featureNearDupBrute(spark: SparkSession, features: Dataset[MediaFeature],
+                                         threshold: Double = 0.999): DataFrame = {
+    val f = features.toDF().select(col("media_id"), col("feature"))
     val a = f.toDF("media_a", "fa")
     val b = f.toDF("media_b", "fb")
     a.crossJoin(b).filter(col("media_a") < col("media_b"))
-      .withColumn("cosine",
-        dot(col("fa"), col("fb")) / (sqrt(dot(col("fa"), col("fa"))) * sqrt(dot(col("fb"), col("fb")))))
+      .withColumn("cosine", featureCosine(col("fa"), col("fb")))
       .filter(col("cosine") >= threshold)
       .select("media_a", "media_b", "cosine")
       .orderBy("media_a", "media_b")

@@ -41,6 +41,21 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs === Set((17L, 68L), (34L, 85L)))
   }
 
+  test("LSH feature near-dup matches the brute-force baseline (recall 1.0 here)") {
+    val media = MultimodalOps.synthMedia(spark, 300)
+    val features = MultimodalOps.extractFeatures(spark, media)
+    val brute = MultimodalOps.featureNearDupBrute(spark, features).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = MultimodalOps.featureNearDup(spark, features).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "baseline must find the planted duplicate pairs")
+    // LSH candidates are a subset of all pairs, verified with the exact
+    // cosine — so lsh ⊆ brute always; at threshold 0.999 the surviving
+    // pairs are identical-feature duplicates, which share every bucket,
+    // so recall is exactly 1.0 (lsh == brute)
+    assert(lsh === brute)
+  }
+
   test("metadata validation rejects NULL metadata instead of passing it") {
     // null width/duration/rate made the reject predicates NULL, so when()
     // skipped every branch and metadata-missing rows sailed through

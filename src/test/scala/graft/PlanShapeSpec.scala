@@ -85,6 +85,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("m5 media feature near-dup plan has no cartesian or nested-loop join") {
+    // m5 shipped as a brute crossJoin in round 2 while the e5 bucketing
+    // machinery existed for exactly this — guard the bucketed plan
+    val features = graft.ops.MultimodalOps.extractFeatures(
+      spark, graft.ops.MultimodalOps.synthMedia(spark, 50))
+    val p = plan(graft.ops.MultimodalOps.featureNearDup(spark, features))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("d7's band signatures stay persisted (md5 pipeline must run once)") {
     // regression guard for the round-2 2x fix: the band self-join consumes
     // bands twice; without the persist the tokenize->12xmd5->minhash
