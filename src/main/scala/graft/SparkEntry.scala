@@ -142,6 +142,45 @@ object SparkEntry {
           graft.stages.TripleEmit.coOccurrence(scores), restrictedDict)
         .orderBy("subj", "obj")
     }),
+    // O1→A1→S8, the triple SINK under the gate: the REAL
+    // TripleEmit.annotatedWith (evidence counts + capped sorted turn_sample
+    // + canonicalization) over the restricted tagger output, docs reshaped
+    // into 50 conversations o4-style. turn_sample is emitted as a joined
+    // string — the driver stringifies arrays differently per engine.
+    "o6_annotated_restricted" -> ((s, d) => {
+      val rows = restrictedEnvoRows(s, d)
+        .withColumn("doc_id", col("conv_id").cast("bigint"))
+        .withColumn("conv_id", (col("doc_id") % 50).cast("string"))
+        .withColumn("turn_idx", col("doc_id").cast("int"))
+        .drop("doc_id")
+      val scores = graft.stages.LinkScore.score(s, rows, restrictedDict,
+        graft.stages.ScoreConfig(normalization = "flat", proportional = true))
+      graft.stages.TripleEmit.annotatedWith(s, scores, rows, restrictedDict)
+        .select(col("subj"), col("pred"), col("obj"), col("weight"), col("evidence"),
+          col("name"), concat_ws(",", col("turn_sample")).as("turns"))
+        .orderBy("subj", "obj")
+    }),
+    // The J6 sample-projection chain under the gate: restricted scores ×
+    // deterministic abundance → Abundance.projectToSamples. Scores are flat
+    // NON-proportional (integer-valued doubles) and weights integer-valued,
+    // so every sum term is exact and the double aggregation is
+    // order-invariant — the oracle's sum matches bit-wise.
+    "o7_sample_projection_restricted" -> ((s, d) => {
+      val rows = restrictedEnvoRows(s, d)
+        .withColumn("doc_id", col("conv_id").cast("bigint"))
+        .withColumn("conv_id", (col("doc_id") % 50).cast("string"))
+        .withColumn("turn_idx", col("doc_id").cast("int"))
+        .drop("doc_id")
+      val scores = graft.stages.LinkScore.score(s, rows, restrictedDict,
+        graft.stages.ScoreConfig(normalization = "flat", proportional = false))
+      val abundance = scores.select(col("conv_id").as("otu")).distinct()
+        .withColumn("s", explode(array(lit("s1"), lit("s2"), lit("s3"))))
+        .select(col("otu"), col("s").as("sample"),
+          (pmod(col("otu").cast("bigint") * 3 + substring(col("s"), 2, 1).cast("bigint") * 5,
+            lit(7)) + 1).cast("double").as("weight"))
+      graft.stages.Abundance.projectToSamples(scores, abundance)
+        .orderBy("envo", "sample")
+    }),
     // --- similarity search (embeddings) ---
     "e1_cosine_topk" -> ((s, d) => EmbedOps.cosineTopK(s, d)),
     "e2_cosine_neardup" -> ((s, d) => EmbedOps.cosineNearDupPairs(s, d)),
@@ -178,8 +217,16 @@ object SparkEntry {
       MultimodalOps.extractFeatures(s, MultimodalOps.synthMedia(s, 500)).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes")).orderBy("media_id")
     }),
-    "m2_media_payload_dedup" -> ((s, _) =>
-      MultimodalOps.exactPayloadDedup(MultimodalOps.synthMedia(s, 500))),
+    // m2 over the doc-derived media table (payload = text bytes, so the
+    // md5 dedup is DuckDB-expressible); duplicates injected by replacing
+    // every 17th payload with one fixed marker — mirrored in the oracle
+    "m2_media_payload_dedup" -> ((s, d) => {
+      val media = MultimodalOps.mediaFromDocs(s, d)
+        .withColumn("bytes",
+          when(pmod(col("media_id"), lit(17)) === 0,
+            lit("DUP PAYLOAD").cast("binary")).otherwise(col("bytes")))
+      MultimodalOps.exactPayloadDedup(media)
+    }),
     "m3_video_frame_sample" -> ((s, _) => {
       import org.apache.spark.sql.functions._
       MultimodalOps.sampleFrames(s, MultimodalOps.synthMedia(s, 500))
@@ -188,14 +235,20 @@ object SparkEntry {
     "m5_feature_neardup" -> ((s, _) =>
       MultimodalOps.featureNearDup(s,
         MultimodalOps.extractFeatures(s, MultimodalOps.synthMedia(s, 500)))),
-    "m4_media_validate" -> ((s, _) => {
+    // m4 over the doc-derived media table — corrupt four deterministic
+    // slices (bad dims, bad duration, off-whitelist rate, NULL metadata)
+    // so every reject branch fires; all injections mirrored in the oracle
+    "m4_media_validate" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      // deterministically corrupt two slices so the gate has rejects to count
-      val media = MultimodalOps.synthMedia(s, 500).toDF()
+      val media = MultimodalOps.mediaFromDocs(s, d)
         .withColumn("width",
           when(pmod(col("media_id"), lit(23)) === 0, lit(0)).otherwise(col("width")))
         .withColumn("duration_ms",
           when(pmod(col("media_id"), lit(31)) === 0, lit(-5)).otherwise(col("duration_ms")))
+        .withColumn("sample_rate",
+          when(pmod(col("media_id"), lit(37)) === 0, lit(null).cast("int"))
+            .when(pmod(col("media_id"), lit(41)) === 0, lit(12345))
+            .otherwise(col("sample_rate")))
       MultimodalOps.mediaValidationStats(media)
     }))
 
@@ -271,6 +324,19 @@ object SparkEntry {
       .withColumn("text_hash", lit(0L))
       .withColumn("mention_pos", lit(0))
       .withColumn("end", col("start"))
+  }
+
+  /** (envo, curie, name) VALUES rows for the restricted concepts — the
+    * oracle's copy of the canonicalization dim WITH preferred names (o6's
+    * output carries `name`; fallback to the CURIE mirrors EnvoDict.nameOf). */
+  private def restrictedEnvoCurieNameValues: String = {
+    val full = KgPipeline.sharedDict
+    val envos = restrictedForms
+      .flatMap(f => full.formToSerials(f).flatMap(full.serialToEnvoInt.get)).distinct.sorted
+    envos.map { e =>
+      val curie = full.intToCurie(e)
+      s"  ($e, '$curie', '${full.nameOf(curie).replace("'", "''")}')"
+    }.mkString(",\n")
   }
 
   /** (child, ancestor) closure VALUES rows for the restricted concepts —
@@ -697,6 +763,56 @@ object SparkEntry {
          |kept AS (SELECT * FROM nulltool UNION ALL SELECT * FROM k2)
          |SELECT CAST(conv AS VARCHAR) AS conv_id, envo, CAST(count(*) AS DOUBLE) AS score
          |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "o6_annotated_restricted" ->
+      s"""WITH fe(form, envo) AS (VALUES
+         |$restrictedFormEnvoValues),
+         |en(envo, curie, name) AS (VALUES
+         |$restrictedEnvoCurieNameValues),
+         |t AS (SELECT doc_id, text ||
+         |  CASE doc_id % 5 WHEN 0 THEN ' the ocean meets the sea near the ocean'
+         |                  WHEN 1 THEN ' mud by the lake and garden mud'
+         |                  WHEN 2 THEN ' OCEAN stays blocked but pond counts'
+         |                  ELSE '' END AS t2
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(t2, '[^A-Za-z0-9]+'), x -> x <> '')) AS raw
+         |  FROM t),
+         |m AS (SELECT doc_id, lower(raw) AS form FROM tok
+         |  WHERE lower(raw) IN ('ocean', 'sea', 'lake', 'mud', 'garden', 'pond')
+         |    AND $restrictedStopPredicate),
+         |r AS (SELECT doc_id % 50 AS conv, doc_id AS turn, envo FROM m JOIN fe USING (form)),
+         |occ AS (SELECT conv, envo, count(*) AS occ FROM r GROUP BY 1, 2),
+         |tot AS (SELECT conv, sum(occ) AS total FROM occ GROUP BY 1),
+         |sup AS (SELECT conv, envo, count(DISTINCT turn) AS n_turns,
+         |    array_to_string(list_slice(list_sort(list(DISTINCT turn)), 1, 20), ',') AS turns
+         |  FROM r GROUP BY 1, 2)
+         |SELECT CAST(occ.conv AS VARCHAR) AS subj, 'annotated_with' AS pred, en.curie AS obj,
+         |       CAST(occ.occ AS DOUBLE) / CAST(tot.total AS DOUBLE) AS weight,
+         |       sup.n_turns AS evidence, en.name, sup.turns
+         |FROM occ JOIN tot USING (conv) JOIN sup USING (conv, envo) JOIN en USING (envo)
+         |ORDER BY subj, obj""".stripMargin,
+    "o7_sample_projection_restricted" ->
+      s"""WITH fe(form, envo) AS (VALUES
+         |$restrictedFormEnvoValues),
+         |t AS (SELECT doc_id, text ||
+         |  CASE doc_id % 5 WHEN 0 THEN ' the ocean meets the sea near the ocean'
+         |                  WHEN 1 THEN ' mud by the lake and garden mud'
+         |                  WHEN 2 THEN ' OCEAN stays blocked but pond counts'
+         |                  ELSE '' END AS t2
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(t2, '[^A-Za-z0-9]+'), x -> x <> '')) AS raw
+         |  FROM t),
+         |m AS (SELECT doc_id, lower(raw) AS form FROM tok
+         |  WHERE lower(raw) IN ('ocean', 'sea', 'lake', 'mud', 'garden', 'pond')
+         |    AND $restrictedStopPredicate),
+         |r AS (SELECT doc_id % 50 AS conv, envo FROM m JOIN fe USING (form)),
+         |occ AS (SELECT conv, envo, CAST(count(*) AS DOUBLE) AS score FROM r GROUP BY 1, 2),
+         |smp(sample, sidx) AS (VALUES ('s1', 1), ('s2', 2), ('s3', 3))
+         |SELECT occ.envo, smp.sample,
+         |       sum(occ.score * CAST((occ.conv * 3 + smp.sidx * 5) % 7 + 1 AS DOUBLE)) AS value
+         |FROM occ CROSS JOIN smp
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "o3_cooccurrence_restricted" ->
       s"""WITH fe(form, envo) AS (VALUES
          |$restrictedFormEnvoValues),
@@ -722,6 +838,44 @@ object SparkEntry {
          |       CAST(n_convs AS DOUBLE) AS weight, n_convs AS evidence
          |FROM p JOIN ec ca ON ca.envo = p.envo_a JOIN ec cb ON cb.envo = p.envo_b
          |ORDER BY subj, obj""".stripMargin,
+    "m2_media_payload_dedup" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 17 = 0 THEN 'DUP PAYLOAD' ELSE text END AS payload
+        |  FROM documents)
+        |SELECT md5(payload) AS payload_hash, min(media_id) AS keep_id, count(*) AS n_copies
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "m4_media_validate" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    CASE WHEN doc_id % 23 = 0 THEN 0 ELSE CAST(64 + doc_id % 512 AS INT) END AS width,
+        |    CAST(64 + (doc_id * 7) % 512 AS INT) AS height,
+        |    CASE WHEN doc_id % 37 = 0 THEN NULL
+        |         WHEN doc_id % 41 = 0 THEN 12345
+        |         ELSE ([8000, 16000, 44100, 48000])[CAST(doc_id % 4 AS INT) + 1] END AS sample_rate,
+        |    CASE WHEN doc_id % 31 = 0 THEN -5 ELSE CAST(1000 + doc_id % 60000 AS INT) END AS duration_ms
+        |  FROM documents),
+        |v AS (SELECT *,
+        |    CASE WHEN (kind IN ('image','video') AND (width IS NULL OR height IS NULL))
+        |           OR (kind IN ('audio','video') AND duration_ms IS NULL)
+        |           OR (kind = 'audio' AND sample_rate IS NULL) THEN 'missing_metadata'
+        |         WHEN kind IN ('image','video') AND (width < 1 OR height < 1
+        |           OR width > 16384 OR height > 16384) THEN 'bad_dims'
+        |         WHEN kind IN ('audio','video') AND (duration_ms < 1
+        |           OR duration_ms > 21600000) THEN 'bad_duration'
+        |         WHEN kind = 'audio' AND sample_rate NOT IN
+        |           (8000, 16000, 24000, 32000, 40000, 44100, 48000) THEN 'bad_sample_rate'
+        |         ELSE NULL END AS reject_reason
+        |  FROM m)
+        |SELECT kind, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN reject_reason IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        |  CAST(sum(CASE WHEN reject_reason = 'bad_dims' THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dims,
+        |  CAST(sum(CASE WHEN reject_reason = 'bad_duration' THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_duration,
+        |  CAST(sum(CASE WHEN reject_reason = 'bad_sample_rate' THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_rate,
+        |  CAST(sum(CASE WHEN reject_reason = 'missing_metadata' THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_meta,
+        |  min(CASE WHEN reject_reason IS NULL THEN duration_ms END) AS min_valid_duration_ms,
+        |  max(CASE WHEN reject_reason IS NULL THEN duration_ms END) AS max_valid_duration_ms,
+        |  max(width) AS max_width, max(height) AS max_height
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     "e1_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,

@@ -92,10 +92,29 @@ object MultimodalOps {
     }
   }
 
+  /** Media table derived DETERMINISTICALLY from the documents corpus:
+    * payload = the text's UTF-8 bytes, metadata = doc_id-keyed expressions.
+    * Unlike `synthMedia` (Scala-Random bytes, not SQL-expressible) every
+    * column here is mirrorable in a DuckDB oracle, which puts the
+    * payload-dedup and validation gates under the driver's bit-exact hash
+    * check. Same schema as MediaRow, pure projection over the scan. */
+  def mediaFromDocs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(typedlit(Seq("image", "audio", "video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+        col("text").cast("binary").as("bytes"),
+        (lit(64) + pmod(col("doc_id"), lit(512))).cast("int").as("width"),
+        (lit(64) + pmod(col("doc_id") * 7, lit(512))).cast("int").as("height"),
+        element_at(typedlit(Seq(8000, 16000, 44100, 48000)),
+          (pmod(col("doc_id"), lit(4)) + 1).cast("int")).as("sample_rate"),
+        (lit(1000) + pmod(col("doc_id"), lit(60000))).cast("int").as("duration_ms"))
+
   /** Exact payload dedup: md5 over the binary column (plan-identical to the
     * text exact-dedup — binary-safe hash, group, keep min id). */
-  def exactPayloadDedup(media: Dataset[MediaRow]): DataFrame =
-    media.toDF()
+  def exactPayloadDedup(media: DataFrame): DataFrame =
+    media
       .groupBy(md5(col("bytes")).as("payload_hash"))
       .agg(min("media_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("payload_hash")

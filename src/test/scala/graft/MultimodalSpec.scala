@@ -23,7 +23,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("exact payload dedup finds the planted duplicates") {
     val media = MultimodalOps.synthMedia(spark, 100)
-    val groups = MultimodalOps.exactPayloadDedup(media).collect()
+    val groups = MultimodalOps.exactPayloadDedup(media.toDF()).collect()
     val dupGroup = groups.filter(_.getLong(2) > 1)
     // rows 17, 34, 51, 68, 85 share one planted payload
     assert(dupGroup.length === 1)
