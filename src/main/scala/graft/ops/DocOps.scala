@@ -177,15 +177,18 @@ object DocOps {
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
       .withColumn("h",
         expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
-    // sum ±w per bit, then sign -> bit
-    val bits = hashed.select(col("doc_id"), col("w"), col("h"),
-        explode(expr("sequence(0, 59)")).as("bit"))
-      .withColumn("contrib",
-        when(expr("(h >> bit) & 1") === 1, col("w")).otherwise(-col("w")))
-      .groupBy("doc_id", "bit").agg(sum("contrib").as("s"))
-      .withColumn("bitval", when(col("s") > 0, lit(1L)).otherwise(lit(0L)))
-      .groupBy("doc_id")
-      .agg(sum(expr("shiftleft(bitval, cast(bit as int))")).as("simhash"))
+    // sum ±w per bit, then sign -> bit: ONE groupBy(doc_id) carrying 60
+    // conditional sums (map-side partial combine, no row blowup), then a
+    // sign/shift projection. The old shape exploded sequence(0,59) into 60
+    // rows per (doc, token) and shuffled them through groupBy(doc_id, bit)
+    // — a 60x constant factor on shuffle volume for the same result.
+    val bitSums = (0 until 60).map { b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, col("w")).otherwise(-col("w"))).as(s"s$b")
+    }
+    val bits = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
     val chunks = bits.select(col("doc_id"), col("simhash"),
         explode(expr("sequence(0, 3)")).as("chunk"))
       .withColumn("ckey", concat_ws(":", col("chunk"),
@@ -238,6 +241,19 @@ object DocOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** d12's stable sample key: md5-prefix of doc_id bucketed into [0, 2^24)
+    * — shared by the batch query and the single-pass funnel signals. */
+  private[graft] val sampleBucket: Column =
+    expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10) as bigint)")
+
+  /** d12's per-language keep cutoff as one expression over `lang`. */
+  private[graft] def sampleCut(rates: Map[String, Double],
+                               defaultRate: Double = 1.0): Column =
+    rates.foldLeft(lit((defaultRate * (1 << 24)).toLong)) {
+      case (acc, (lang, r)) =>
+        when(col("lang") === lang, lit((r * (1 << 24)).toLong)).otherwise(acc)
+    }
+
   /** Deterministic stratified sampling: keep a per-language fraction by
     * bucketing a stable key hash into [0, 2^24) — reproducible on any
     * cluster size (no RNG state, no sort, no shuffle; the filter pushes to
@@ -245,18 +261,12 @@ object DocOps {
     * portable hash, so the DuckDB oracle is bit-identical. */
   def stratifiedSample(spark: SparkSession, dir: String,
                        rates: Map[String, Double] = Map("en" -> 0.25),
-                       defaultRate: Double = 1.0): DataFrame = {
-    val bucket = expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10) as bigint)")
-    val cut = rates.foldLeft(lit((defaultRate * (1 << 24)).toLong)) {
-      case (acc, (lang, r)) =>
-        when(col("lang") === lang, lit((r * (1 << 24)).toLong)).otherwise(acc)
-    }
+                       defaultRate: Double = 1.0): DataFrame =
     docs(spark, dir)
-      .withColumn("bucket", bucket)
-      .filter(col("bucket") < cut)
+      .withColumn("bucket", sampleBucket)
+      .filter(col("bucket") < sampleCut(rates, defaultRate))
       .select("doc_id", "lang", "source", "bucket")
       .orderBy("doc_id")
-  }
 
   /** Benchmark decontamination: flag documents sharing ≥ `minShared`
     * distinct word-3-gram shingles with a benchmark/eval set (stand-in
@@ -365,14 +375,13 @@ object DocOps {
       .otherwise(lit(0.0))
   }
 
-  /** Quality scoring: type-token ratio, stopword ratio, length factor —
-    * every double is a division/product of bit-identical operands on both
-    * engines. */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  /** d3's metric columns over a frame carrying `toks` — single-sourced so
+    * the batch query and the one-pass funnel signals can never diverge.
+    * (Divide-by-zero yields NULL quality for empty-token docs; callers
+    * either pre-filter size(toks) > 0 or rely on NULL failing any gate.) */
+  private def withQuality(df: DataFrame): DataFrame = {
     val stopArr = stopwords.map(s => s"'$s'").mkString(", ")
-    docs(spark, dir)
-      .withColumn("toks", toks)
-      .filter(size(col("toks")) > 0)
+    df
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("n_distinct", size(array_distinct(col("toks"))))
       .withColumn("n_stop", size(expr(s"filter(toks, x -> x IN ($stopArr))")))
@@ -382,14 +391,19 @@ object DocOps {
         least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)))
       .withColumn("quality",
         col("ttr") * lit(0.4) + (lit(1.0) - col("stop_ratio")) * lit(0.3) + col("len_factor") * lit(0.3))
-      .select("doc_id", "n_tokens", "n_distinct", "n_stop", "ttr", "stop_ratio", "quality")
-      .orderBy("doc_id")
   }
 
-  /** Language ID: marker-stopword counting with a deterministic tie order.
-    * (A bigram heuristic adds nothing on this synthetic corpus; markers are
-    * the portable, oracle-checkable core of the operator.) */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  /** Quality scoring: type-token ratio, stopword ratio, length factor —
+    * every double is a division/product of bit-identical operands on both
+    * engines. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    withQuality(docs(spark, dir).withColumn("toks", toks).filter(size(col("toks")) > 0))
+      .select("doc_id", "n_tokens", "n_distinct", "n_stop", "ttr", "stop_ratio", "quality")
+      .orderBy("doc_id")
+
+  /** d4's marker-vote columns over a frame carrying `toks` — single-sourced
+    * with the funnel signals like `withQuality`. */
+  private def withLangScores(df: DataFrame): DataFrame = {
     val markers = Map(
       "en" -> Seq("the", "a", "of", "and", "is"),
       "es" -> Seq("el", "la", "de", "los", "y"),
@@ -397,8 +411,7 @@ object DocOps {
       "de" -> Seq("der", "die", "das", "und", "ist"))
     def score(lang: String): Column =
       size(expr(s"filter(toks, x -> x IN (${markers(lang).map(s => s"'$s'").mkString(", ")}))"))
-    docs(spark, dir)
-      .withColumn("toks", toks)
+    df
       .withColumn("s_en", score("en")).withColumn("s_es", score("es"))
       .withColumn("s_fr", score("fr")).withColumn("s_de", score("de"))
       .withColumn("pred_lang",
@@ -407,9 +420,26 @@ object DocOps {
           .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de"), lit("es"))
           .when(col("s_fr") >= col("s_de"), lit("fr"))
           .otherwise(lit("de")))
+  }
+
+  /** Language ID: marker-stopword counting with a deterministic tie order.
+    * (A bigram heuristic adds nothing on this synthetic corpus; markers are
+    * the portable, oracle-checkable core of the operator.) */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    withLangScores(docs(spark, dir).withColumn("toks", toks))
       .select("doc_id", "s_en", "s_es", "s_fr", "s_de", "pred_lang")
       .orderBy("doc_id")
-  }
+
+  /** The d3+d4+d12 gate signals in ONE projection over ONE scan of the
+    * corpus — what the curation funnel consumes. Three independent gate
+    * queries would scan the documents three times; at 100 TB this is the
+    * difference between one pass and three. Callers persist the result and
+    * filter it per gate (quality NULL for empty-token docs — fails any
+    * threshold, matching qualityScore's size>0 pre-filter). */
+  def gateSignals(spark: SparkSession, dir: String): DataFrame =
+    withLangScores(withQuality(docs(spark, dir).withColumn("toks", toks)))
+      .withColumn("bucket", sampleBucket)
+      .select("doc_id", "lang", "n_tokens", "quality", "pred_lang", "bucket")
 
   /** Document fingerprint: md5 over whitespace-normalized lowercase text —
     * the canonical-content key for cross-corpus dedup. */

@@ -24,10 +24,10 @@ import graft.ops.{Components, DocOps}
  * and writes the surviving chunks + the funnel table to out_dir. Every
  * stage is deterministic, so reruns produce identical funnels.
  *
- * Each gate computes its signal from the source scan independently (the
- * signals are one-pass projections/aggs; at 100 TB you run them as one
- * multi-output pass over a persisted token projection — the id-set
- * semi-join composition below is identical either way).
+ * The three projection gates (quality / language / sample) share ONE
+ * persisted signal frame computed in a single pass over the corpus
+ * (DocOps.gateSignals) — three independent gate queries would scan the
+ * documents three times; the id-set semi-join composition is unchanged.
  *
  *   sbt -batch "runMain graft.tools.CurateCli --docs_dir /root/testdata/sf0.001 \
  *     --out_dir /tmp/curated [--min_quality 0.5] [--sample_en 0.25] \
@@ -77,19 +77,22 @@ object CurateCli {
         .filter(col("doc_id") >= cfg.benchmarkN)
         .join(contaminated, Seq("doc_id"), "left_anti"))
 
-    // d3 + d4 gates
-    val qualityOk = DocOps.qualityScore(spark, dir)
-      .filter(col("quality") >= cfg.minQuality).select("doc_id")
+    // d3 + d4 + d12 gates off ONE persisted single-pass signal projection
+    val signals = DocOps.gateSignals(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gated1 = stage("quality_gate",
-      decontaminated.join(qualityOk, Seq("doc_id"), "left_semi"))
-    val langOk = DocOps.langId(spark, dir)
-      .filter(col("pred_lang") =!= "und").select("doc_id")
-    val gated = stage("lang_gate", gated1.join(langOk, Seq("doc_id"), "left_semi"))
-
-    // d12: deterministic per-language downsample
+      decontaminated.join(
+        signals.filter(col("quality") >= cfg.minQuality).select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+    val gated = stage("lang_gate", gated1.join(
+      signals.filter(col("pred_lang") =!= "und").select("doc_id"),
+      Seq("doc_id"), "left_semi"))
     val sampled = stage("stratified_sample",
-      gated.join(DocOps.stratifiedSample(spark, dir, Map("en" -> cfg.sampleEn))
-        .select("doc_id"), Seq("doc_id"), "left_semi"))
+      gated.join(
+        signals.filter(col("bucket") < DocOps.sampleCut(Map("en" -> cfg.sampleEn)))
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+    signals.unpersist()
 
     // d11: chunk the survivors
     val chunks = DocOps.chunkDocs(spark, dir, cfg.chunkTokens, cfg.overlap)

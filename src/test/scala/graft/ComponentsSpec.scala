@@ -27,6 +27,33 @@ class ComponentsSpec extends SparkSpec {
       (30L, 30L, 2L), (31L, 30L, 2L)))
   }
 
+  test("chain graph at maxIter boundary: loud non-convergence, labels still consumable") {
+    // min-label propagation advances one hop per round, so a long chain
+    // needs O(diameter) rounds — at maxIter below that the escape hatch
+    // must fire LOUDLY (never silently return split components), and the
+    // partial labels must still be safe: every node labeled, each label a
+    // node of the same true component, monotone (label <= id)
+    val n = 20
+    val chain = (0L until n - 1L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val buf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    val labels = try {
+      System.setErr(new java.io.PrintStream(buf, true))
+      Components.connectedComponents(spark, chain, maxIter = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    } finally System.setErr(realErr)
+    assert(buf.toString.contains("did NOT converge"),
+      "the non-convergence warning branch must fire")
+    assert(labels.keySet === (0L until n).toSet, "every node keeps a label")
+    labels.foreach { case (id, lbl) =>
+      assert(lbl >= 0L && lbl <= id, s"node $id: label $lbl must be a same-component node <= id")
+    }
+    // and with enough rounds the same graph converges to one component
+    val full = Components.connectedComponents(spark, chain)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(full === Set(0L))
+  }
+
   test("end to end: simhash pairs -> dedup clusters on testdata") {
     val pairs = graft.ops.DocOps.simhashPairs(spark, "/root/testdata/sf0.001", maxHamming = 8)
     val clusters = Components.dupClusters(spark, pairs)

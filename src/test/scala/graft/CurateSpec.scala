@@ -33,4 +33,36 @@ class CurateSpec extends SparkSpec {
       .select("doc_id").distinct().count()
     assert(chunkDocs === f1(6)._2)
   }
+
+  test("gate signals: one corpus scan serves all three projection gates") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.DocOps
+    val signals = DocOps.gateSignals(spark, dir).persist()
+    try {
+      signals.count() // materialize the cache
+      val q = signals.filter(col("quality") >= 0.5).select("doc_id")
+      val l = signals.filter(col("pred_lang") =!= "und").select("doc_id")
+      val s = signals.filter(col("bucket") < DocOps.sampleCut(Map("en" -> 0.25)))
+        .select("doc_id")
+      // every LEAF of the combined gate plan must be the cached signals —
+      // a FileSourceScan leaf would mean a gate re-scans the corpus (the
+      // cached relation's printed description still embeds the original
+      // scan text, so check node types, not the plan string)
+      val leaves = q.union(l).union(s).queryExecution.executedPlan.collectLeaves()
+      assert(leaves.nonEmpty && leaves.forall(
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
+        s"all three gates must read the cached signals, not re-scan parquet: $leaves")
+
+      // and each signal gate selects exactly the docs the standalone
+      // operator (the DuckDB-oracled query) would select
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.collect().map(_.getLong(0)).toSet
+      assert(ids(q) === ids(DocOps.qualityScore(spark, dir)
+        .filter(col("quality") >= 0.5).select("doc_id")))
+      assert(ids(l) === ids(DocOps.langId(spark, dir)
+        .filter(col("pred_lang") =!= "und").select("doc_id")))
+      assert(ids(s) === ids(DocOps.stratifiedSample(spark, dir, Map("en" -> 0.25))
+        .select("doc_id")))
+    } finally signals.unpersist()
+  }
 }
