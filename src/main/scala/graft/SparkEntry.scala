@@ -211,10 +211,17 @@ object SparkEntry {
       graft.stages.Abundance.projectToSamples(scores, abundance)
         .orderBy("envo", "sample")
     }),
-    // --- multimodal plumbing (stub decoder; rows-only checks) ---
-    "m1_media_features" -> ((s, _) => {
+    // --- multimodal plumbing. m1/m3 run over the doc-derived media table:
+    //     the REAL batch plumbing executes (mapPartitions decode for m1,
+    //     typed flatMap frame extraction for m3) while the projected output
+    //     columns are deterministic functions of the corpus — so both sit
+    //     under the DuckDB gate. m5's stub-decoder cosines stay rows-only
+    //     (hash-chain floats are not SQL-expressible). ---
+    "m1_media_features" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      MultimodalOps.extractFeatures(s, MultimodalOps.synthMedia(s, 500)).toDF()
+      import s.implicits._
+      MultimodalOps.extractFeatures(s,
+          MultimodalOps.mediaFromDocs(s, d).as[MultimodalOps.MediaRow]).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes")).orderBy("media_id")
     }),
     // m2 over the doc-derived media table (payload = text bytes, so the
@@ -227,9 +234,11 @@ object SparkEntry {
             lit("DUP PAYLOAD").cast("binary")).otherwise(col("bytes")))
       MultimodalOps.exactPayloadDedup(media)
     }),
-    "m3_video_frame_sample" -> ((s, _) => {
+    "m3_video_frame_sample" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      MultimodalOps.sampleFrames(s, MultimodalOps.synthMedia(s, 500))
+      import s.implicits._
+      MultimodalOps.sampleFrames(s,
+          MultimodalOps.mediaFromDocs(s, d).as[MultimodalOps.MediaRow])
         .groupBy("media_id").agg(count(lit(1)).as("n_frames")).orderBy("media_id")
     }),
     "m5_feature_neardup" -> ((s, _) =>
@@ -551,14 +560,18 @@ object SparkEntry {
         |  FROM t WHERE len(toks) >= 3),
         |stop AS (SELECT g FROM g0 GROUP BY g HAVING count(*) > 50),
         |g AS (SELECT * FROM g0 WHERE g NOT IN (SELECT g FROM stop)),
-        |h AS (SELECT doc_id, i, md5(CAST(i AS VARCHAR) || ':' || g) AS h
-        |  FROM g, range(0, 12) r(i)),
+        |h0 AS (SELECT doc_id,
+        |    ('0x' || substr(md5(g), 1, 15))::BIGINT AS a,
+        |    ('0x' || substr(md5(g), 17, 14))::BIGINT AS b
+        |  FROM g),
+        |h AS (SELECT doc_id, i, (a + i * b) % 1152921504606846976 AS h
+        |  FROM h0, range(0, 12) r(i)),
         |sig AS (SELECT doc_id, i, min(h) AS mh FROM h GROUP BY 1, 2),
         |bands AS (SELECT doc_id,
         |    CAST(i // 3 AS VARCHAR) || '|' ||
-        |    min(CASE WHEN i % 3 = 0 THEN mh END) || '|' ||
-        |    min(CASE WHEN i % 3 = 1 THEN mh END) || '|' ||
-        |    min(CASE WHEN i % 3 = 2 THEN mh END) AS bkey
+        |    CAST(min(CASE WHEN i % 3 = 0 THEN mh END) AS VARCHAR) || '|' ||
+        |    CAST(min(CASE WHEN i % 3 = 1 THEN mh END) AS VARCHAR) || '|' ||
+        |    CAST(min(CASE WHEN i % 3 = 2 THEN mh END) AS VARCHAR) AS bkey
         |  FROM sig GROUP BY doc_id, i // 3),
         |cand AS (SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b
         |  FROM bands ba JOIN bands bb ON ba.bkey = bb.bkey AND ba.doc_id < bb.doc_id),
@@ -838,6 +851,21 @@ object SparkEntry {
          |       CAST(n_convs AS DOUBLE) AS weight, n_convs AS evidence
          |FROM p JOIN ec ca ON ca.envo = p.envo_a JOIN ec cb ON cb.envo = p.envo_b
          |ORDER BY subj, obj""".stripMargin,
+    "m1_media_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  octet_length(encode(text)) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "m3_video_frame_sample" ->
+      """WITH v AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS len
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT media_id,
+        |  CASE WHEN len >= 32 THEN (len - 32) // 32 + 1
+        |       WHEN len >= 1 THEN 1
+        |       ELSE 0 END AS n_total
+        |  FROM v)
+        |SELECT media_id, CAST((n_total + 1) // 2 AS BIGINT) AS n_frames
+        |FROM f WHERE n_total > 0 ORDER BY media_id""".stripMargin,
     "m2_media_payload_dedup" ->
       """WITH m AS (SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 17 = 0 THEN 'DUP PAYLOAD' ELSE text END AS payload
