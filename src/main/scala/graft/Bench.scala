@@ -202,10 +202,11 @@ object Bench {
       val minTotal = valid.map(p => p._3 + p._4).min
       valid.filter(p => p._3 + p._4 <= minTotal * 1.08).maxBy(eff)
     }
-    // ≥2 pairs always: a single-pair artifact can't show the measurement is
-    // repeatable even when it's clean
+    // ≥2 VALID pairs always: a single-pair artifact can't show the
+    // measurement is repeatable even when it's clean (discarded
+    // contaminated pairs don't count toward repeatability)
     while (pairs.length < maxPairs &&
-           (pairs.length < 2 || valid.isEmpty || eff(bestPair) < 0.8)) {
+           (valid.length < 2 || eff(bestPair) < 0.8)) {
       val (_, _, sl) = kgRun(lowCpus, turnsPath, iters = 1)
       val (nt, tri, sh) = kgRun(highCpus, turnsPath, iters = 1)
       pairs += ((nt, tri, sl, sh))

@@ -384,16 +384,20 @@ object DocOps {
 
   /** d3's metric columns over a frame carrying `toks` — single-sourced so
     * the batch query and the one-pass funnel signals can never diverge.
-    * (Divide-by-zero yields NULL quality for empty-token docs; callers
-    * either pre-filter size(toks) > 0 or rely on NULL failing any gate.) */
+    * The ratio columns are explicitly guarded on n_tokens > 0 (NULL
+    * otherwise, failing any gate threshold): Spark 4 defaults ANSI mode ON,
+    * where double division by zero THROWS — an unguarded zero-token doc
+    * would kill the whole funnel job, not just score low. */
   private def withQuality(df: DataFrame): DataFrame = {
     val stopArr = stopwords.map(s => s"'$s'").mkString(", ")
     df
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("n_distinct", size(array_distinct(col("toks"))))
       .withColumn("n_stop", size(expr(s"filter(toks, x -> x IN ($stopArr))")))
-      .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens").cast("double"))
-      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("ttr", when(col("n_tokens") > 0,
+        col("n_distinct").cast("double") / col("n_tokens").cast("double")))
+      .withColumn("stop_ratio", when(col("n_tokens") > 0,
+        col("n_stop").cast("double") / col("n_tokens").cast("double")))
       .withColumn("len_factor",
         least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)))
       .withColumn("quality",

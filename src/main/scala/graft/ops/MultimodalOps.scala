@@ -144,7 +144,15 @@ object MultimodalOps {
       // feature frame — and its upstream (decode in mapPartitions) must not
       // re-run per reference
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dim = features.head().feature.length
+    // dimension probed from the PERSISTED frame (the take warms its cache
+    // partition rather than running a separate decode job); an empty input
+    // returns an empty result instead of head() throwing
+    val firstRow = f.take(1)
+    if (firstRow.isEmpty) {
+      import spark.implicits._
+      return spark.emptyDataset[(Long, Long, Double)].toDF("media_a", "media_b", "cosine")
+    }
+    val dim = firstRow.head.getAs[scala.collection.Seq[Float]]("feature").length
     val buckets = EmbedOps.signBucketsFor(f, "media_id", "feature", dim, nPlanes, nTables)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = buckets.toDF("media_a", "bucket")

@@ -73,8 +73,11 @@ object GraftCli {
       case Some(s) if s.startsWith("synth:") =>
         TranscriptGen.generate(spark, s.drop(6).toLong).toDF
       // suffix match, not contains: a parquet dir named ".../run.jsonl_export/"
-      // must not be misrouted to the JSONL reader (silent zero valid turns)
-      case Some(path) if path.endsWith(".jsonl") || path.endsWith(".jsonl.gz") =>
+      // must not be misrouted to the JSONL reader (silent zero valid turns).
+      // Trailing slash stripped first so a JSONL DIRECTORY given as
+      // ".../turns.jsonl/" (shell tab-completion) still routes correctly.
+      case Some(path) if { val p = path.stripSuffix("/")
+          p.endsWith(".jsonl") || p.endsWith(".jsonl.gz") } =>
         graft.sources.JsonlTranscripts.turns(spark, path).toDF
       case Some(path) => spark.read.parquet(path)
       case None =>

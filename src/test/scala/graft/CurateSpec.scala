@@ -65,4 +65,23 @@ class CurateSpec extends SparkSpec {
         .select("doc_id")))
     } finally signals.unpersist()
   }
+
+  test("gate signals survive zero-token docs (ANSI divide-by-zero guard)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Spark 4 defaults ANSI mode ON: an unguarded ttr division would THROW
+    // on a doc whose text has no word characters, killing the funnel
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zero").toString
+    Seq((0L, "", "en"), (1L, "!!! ...", "en"), (2L, "a real document here", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = graft.ops.DocOps.gateSignals(spark, tmp).collect()
+      .map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(rows(0L).isEmpty && rows(1L).isEmpty, "zero-token docs get NULL quality")
+    assert(rows(2L).nonEmpty)
+    // NULL quality fails any gate threshold instead of crashing the job
+    val kept = graft.ops.DocOps.gateSignals(spark, tmp)
+      .filter(col("quality") >= 0.0).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L))
+  }
 }

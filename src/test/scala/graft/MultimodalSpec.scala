@@ -56,6 +56,15 @@ class MultimodalSpec extends SparkSpec {
     assert(lsh === brute)
   }
 
+  test("LSH feature near-dup on an empty feature set returns empty, not a crash") {
+    import spark.implicits._
+    val empty = MultimodalOps.extractFeatures(spark,
+      MultimodalOps.synthMedia(spark, 10).filter(_ => false))
+    val out = MultimodalOps.featureNearDup(spark, empty)
+    assert(out.columns.toSeq === Seq("media_a", "media_b", "cosine"))
+    assert(out.count() === 0L)
+  }
+
   test("metadata validation rejects NULL metadata instead of passing it") {
     // null width/duration/rate made the reject predicates NULL, so when()
     // skipped every branch and metadata-missing rows sailed through
