@@ -408,9 +408,12 @@ object SparkEntry {
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "a12_window_normalize" ->
       """SELECT event_id, user_id, value,
-        |       CAST(value AS DOUBLE) /
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id) AS DOUBLE) AS share
-        |FROM events ORDER BY event_id""".stripMargin,
+        |  CASE WHEN user_total <> 0
+        |       THEN CAST(value AS DOUBLE) / CAST(user_total AS DOUBLE) END AS share
+        |FROM (SELECT event_id, user_id, value,
+        |      sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id) AS user_total
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
     "j2_broadcast_dim_join" ->
       """SELECT p_brand, sum(l_quantity) AS sum_qty,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

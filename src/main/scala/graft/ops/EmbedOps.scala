@@ -29,6 +29,17 @@ object EmbedOps {
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** cosine from PRE-COMPUTED norm scalar columns, NULL for zero vectors.
+    * Two reasons this shape is mandatory: (1) Spark 4 defaults ANSI mode ON,
+    * where 0/0 THROWS — one all-zero embedding in a 100 TB corpus must
+    * score NULL (failing every threshold/rank filter), not kill the job;
+    * (2) norms computed once per VECTOR in the side frames instead of once
+    * per PAIR inside the join cut the HOF passes from O(pairs) to O(rows)
+    * (zip_with/aggregate are interpreted — see litDot's note). NULL ranks
+    * after every real cosine (Spark default NULLS LAST on DESC). */
+  private def cosineFromNorms(dotCol: Column, na: Column, nb: Column): Column =
+    when(na > 0 && nb > 0, dotCol / (na * nb))
+
   /** dot(vec, literal constant vector): the constant side is a literal
     * array (computed once on the driver), folded with the same zip_with +
     * aggregate shape as `dot`. (An unrolled sum of 64 element_at terms was
@@ -65,11 +76,13 @@ object EmbedOps {
   def cosineTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 3): DataFrame = {
     val e = emb(spark, dir)
     val queries = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm(col("embedding")).as("nq"))
     val scored = queries
-      .crossJoin(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")))
+      .crossJoin(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        norm(col("embedding")).as("nn")))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv"))))
+      .withColumn("cosine", cosineFromNorms(dot(col("qv"), col("nv")), col("nq"), col("nn")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -85,11 +98,13 @@ object EmbedOps {
     * embedding-based near-dup dedup. Brute force (correctness baseline). */
   def cosineNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.38): DataFrame = {
     val e = emb(spark, dir)
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
+      norm(col("embedding")).as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
+      norm(col("embedding")).as("nb"))
     a.crossJoin(b)
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine", dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+      .withColumn("cosine", cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("vec_a", "vec_b")
@@ -116,7 +131,11 @@ object EmbedOps {
       .map { r =>
         val v = r.getSeq[Float](1).map(_.toDouble).toArray
         val n = math.sqrt(v.map(x => x * x).sum)
-        (r.getLong(0).toInt, v.map(_ / n))
+        // an all-zero sampled centroid stays zero (its cell just never wins
+        // the argmax) instead of dividing into NaNs that poison every score.
+        // True division, not multiply-by-reciprocal: the e4 oracle divides
+        // per element and x/n vs x*(1/n) differ in the last ulp.
+        (r.getLong(0).toInt, if (n > 0) v.map(_ / n) else v)
       }.sortBy(_._1)
 
     // score per cell = dot(emb, cent/||cent||): same cell ORDER as cosine
@@ -127,21 +146,22 @@ object EmbedOps {
 
     // nearest cell per vector: one projection, struct-max (ties → max cell)
     val assigned = e.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("nv"), array_max(cellScores).getField("cell").as("cell"))
+      col("embedding").as("nv"), norm(col("embedding")).as("nn"),
+      array_max(cellScores).getField("cell").as("cell"))
 
     // nprobe nearest cells per query: sort the literal score array desc,
     // slice, explode — still projection-only, no window, no shuffle
     val probedCells = slice(reverse(array_sort(cellScores)), 1, nprobe).getField("cell")
     val queryCells = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        explode(probedCells).as("cell"))
+        norm(col("embedding")).as("nq"), explode(probedCells).as("cell"))
 
     // each query has nprobe distinct cells and each neighbor exactly one
     // cell, so candidate pairs are unique — no dedupe stage needed
     val cands = queryCells
       .join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv"))))
+      .withColumn("cosine", cosineFromNorms(dot(col("qv"), col("nv")), col("nq"), col("nn")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -206,9 +226,11 @@ object EmbedOps {
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
     candIds
-      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("va")), Seq("vec_a"))
-      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("vb")), Seq("vec_b"))
-      .withColumn("cosine", dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
+        norm(col("embedding")).as("na")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
+        norm(col("embedding")).as("nb")), Seq("vec_b"))
+      .withColumn("cosine", cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("vec_a", "vec_b")
@@ -234,11 +256,13 @@ object EmbedOps {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
     val qv = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm(col("embedding")).as("nq"))
     val cands = candIds
       .join(broadcast(qv), Seq("query_id"))
-      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")), Seq("neighbor_id"))
-      .withColumn("cosine", dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv"))))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        norm(col("embedding")).as("nn")), Seq("neighbor_id"))
+      .withColumn("cosine", cosineFromNorms(dot(col("qv"), col("nv")), col("nq"), col("nn")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)

@@ -119,13 +119,18 @@ object MultimodalOps {
       .agg(min("media_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("payload_hash")
 
-  private def featureCosine(a: org.apache.spark.sql.Column,
-                            b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val dot = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  private def featureDot(x: org.apache.spark.sql.Column,
+                         y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** cosine from pre-computed norm scalars, NULL for zero vectors — same
+    * shape and rationale as EmbedOps.cosineFromNorms (ANSI 0/0 throws;
+    * norms once per row, not per pair). */
+  private def featureCosine(dotCol: org.apache.spark.sql.Column,
+                            na: org.apache.spark.sql.Column,
+                            nb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(na > 0 && nb > 0, dotCol / (na * nb))
 
   /** Near-dup media by feature cosine — the SCALE path: candidates share an
     * LSH sign-bucket in ≥1 of nTables hash tables (the same EmbedOps
@@ -139,7 +144,8 @@ object MultimodalOps {
   def featureNearDup(spark: SparkSession, features: Dataset[MediaFeature],
                      threshold: Double = 0.999, nPlanes: Int = 8,
                      nTables: Int = 4): DataFrame = {
-    val f = features.toDF().select(col("media_id"), col("feature"))
+    val f = features.toDF().select(col("media_id"), col("feature"),
+      sqrt(featureDot(col("feature"), col("feature"))).as("fnorm"))
       // both the bucket projection and the two verify-side joins read the
       // feature frame — and its upstream (decode in mapPartitions) must not
       // re-run per reference
@@ -160,9 +166,10 @@ object MultimodalOps {
       .filter(col("media_a") < col("media_b"))
       .select("media_a", "media_b").distinct()
     candIds
-      .join(f.toDF("media_a", "fa"), Seq("media_a"))
-      .join(f.toDF("media_b", "fb"), Seq("media_b"))
-      .withColumn("cosine", featureCosine(col("fa"), col("fb")))
+      .join(f.toDF("media_a", "fa", "norm_a"), Seq("media_a"))
+      .join(f.toDF("media_b", "fb", "norm_b"), Seq("media_b"))
+      .withColumn("cosine",
+        featureCosine(featureDot(col("fa"), col("fb")), col("norm_a"), col("norm_b")))
       .filter(col("cosine") >= threshold)
       .select("media_a", "media_b", "cosine")
       .orderBy("media_a", "media_b")
@@ -172,11 +179,13 @@ object MultimodalOps {
     * LSH path is tested against (MultimodalSpec); never the driver query. */
   private[graft] def featureNearDupBrute(spark: SparkSession, features: Dataset[MediaFeature],
                                          threshold: Double = 0.999): DataFrame = {
-    val f = features.toDF().select(col("media_id"), col("feature"))
-    val a = f.toDF("media_a", "fa")
-    val b = f.toDF("media_b", "fb")
+    val f = features.toDF().select(col("media_id"), col("feature"),
+      sqrt(featureDot(col("feature"), col("feature"))).as("fnorm"))
+    val a = f.toDF("media_a", "fa", "norm_a")
+    val b = f.toDF("media_b", "fb", "norm_b")
     a.crossJoin(b).filter(col("media_a") < col("media_b"))
-      .withColumn("cosine", featureCosine(col("fa"), col("fb")))
+      .withColumn("cosine",
+        featureCosine(featureDot(col("fa"), col("fb")), col("norm_a"), col("norm_b")))
       .filter(col("cosine") >= threshold)
       .select("media_a", "media_b", "cosine")
       .orderBy("media_a", "media_b")

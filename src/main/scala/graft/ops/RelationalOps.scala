@@ -150,7 +150,11 @@ object RelationalOps {
     t(spark, dir, "events")
       .withColumn("user_total", sum(col("value").cast("decimal(18,2)")).over(w))
       .select(col("event_id"), col("user_id"), col("value"),
-        (col("value").cast("double") / col("user_total").cast("double")).as("share"))
+        // zero-total partitions get NULL share, not an ANSI DIVIDE_BY_ZERO
+        // crash (possible on real data where values cancel; mirrored CASE
+        // in the oracle)
+        when(col("user_total") =!= 0,
+          col("value").cast("double") / col("user_total").cast("double")).as("share"))
       .orderBy("event_id")
   }
 

@@ -239,6 +239,30 @@ class OpsSpec extends SparkSpec {
     assert(rows(5L)._1 === 0.8, "aa-soup: 5 bigrams, 1 distinct")
   }
 
+  test("zero embeddings score NULL cosine (excluded), never ANSI divide-by-zero") {
+    import spark.implicits._
+    // Spark 4 defaults ANSI mode ON where 0/0 throws — one all-zero vector
+    // in a real corpus must not kill the similarity queries
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zvec").toString
+    val vecs = (0L until 20L).map { i =>
+      val v = if (i == 7L) Array.fill(8)(0f)
+        else Array.tabulate(8)(d => ((i * 31 + d * 17) % 13).toFloat - 6f)
+      (i, v)
+    }
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val brute = EmbedOps.cosineNearDupPairs(spark, tmp, threshold = -2.0).collect()
+    assert(brute.nonEmpty)
+    // threshold -2 keeps EVERY real pair; only pairs touching vec 7 drop
+    assert(!brute.exists(r => r.getLong(0) == 7L || r.getLong(1) == 7L))
+    assert(brute.length === (19 * 18) / 2)
+    val topk = EmbedOps.cosineTopK(spark, tmp, k = 3, nQueries = 2).collect()
+    assert(topk.length === 6)
+    assert(!topk.exists(_.getLong(2) == 7L), "zero vector must never rank in top-k")
+    val lsh = EmbedOps.lshNearDupPairs(spark, tmp, threshold = -2.0).collect()
+    assert(!lsh.exists(r => r.getLong(0) == 7L || r.getLong(1) == 7L))
+  }
+
   test("HLL approx distinct within its relative standard deviation bound") {
     graft.ops.RelationalOps.approxDistinct(spark, dir, rsd = 0.02).collect().foreach { r =>
       val (exact, approx) = (r.getLong(1), r.getLong(2))
