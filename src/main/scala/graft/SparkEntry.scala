@@ -142,6 +142,32 @@ object SparkEntry {
           graft.stages.TripleEmit.coOccurrence(scores), restrictedDict)
         .orderBy("subj", "obj")
     }),
+    // The scorer's ui normalization path (A2: duplicate texts within a
+    // conversation counted once — the production Salting.keepFirstByAgg on
+    // (conv, text_hash)) under the gate: o4's reshaping minus the tool step.
+    "o8_ui_scoring_restricted" -> ((s, d) => {
+      val rows = restrictedEnvoRows(s, d)
+        .withColumn("doc_id", col("conv_id").cast("bigint"))
+        .withColumn("conv_id", (col("doc_id") % 50).cast("string"))
+        .withColumn("turn_idx", col("doc_id").cast("int"))
+        .withColumn("text_hash", col("doc_id") % 7)
+        .drop("doc_id")
+      graft.stages.LinkScore.score(s, rows, restrictedDict,
+          graft.stages.ScoreConfig(normalization = "ui", proportional = false))
+        .select(col("conv_id"), col("envo"), col("score"))
+        .orderBy("conv_id", "envo")
+    }),
+    // The scorer's restrict predicate (P6: keep strict descendants of a
+    // root concept) under the gate — the root is the closure ancestor
+    // covering the most-but-not-all restricted concepts (so the filter
+    // provably bites AND provably keeps rows), and the oracle embeds the
+    // allowed set computed by the same descendantsOf formula.
+    "o9_restrict_scoring" -> ((s, d) =>
+      graft.stages.LinkScore.score(s, restrictedEnvoRows(s, d), restrictedDict,
+          graft.stages.ScoreConfig(normalization = "flat", proportional = false,
+            restrict = Some(restrictRootEnvo)))
+        .select(col("conv_id"), col("envo"), col("score"))
+        .orderBy("conv_id", "envo")),
     // O1→A1→S8, the triple SINK under the gate: the REAL
     // TripleEmit.annotatedWith (evidence counts + capped sorted turn_sample
     // + canonicalization) over the restricted tagger output, docs reshaped
@@ -333,6 +359,38 @@ object SparkEntry {
       .withColumn("text_hash", lit(0L))
       .withColumn("mention_pos", lit(0))
       .withColumn("end", col("start"))
+  }
+
+  private def restrictedEnvoInts: Seq[Int] = {
+    val full = KgPipeline.sharedDict
+    restrictedForms
+      .flatMap(f => full.formToSerials(f).flatMap(full.serialToEnvoInt.get)).distinct
+  }
+
+  /** o9's restrict root: the closure ancestor covering the MOST (but not
+    * all) restricted concepts — deterministic, and the strict-descendant
+    * filter both bites and keeps rows. */
+  private def restrictRootEnvo: Int = {
+    val full = KgPipeline.sharedDict
+    val envos = restrictedEnvoInts
+    val cover = envos.flatMap(e => full.closure.getOrElse(e, Array.empty[Int]).distinct)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val eligible = cover.filter { case (_, c) => c >= 1 && c < envos.size }
+    require(eligible.nonEmpty,
+      "o9 needs an ancestor covering some but not all restricted concepts")
+    eligible.toSeq.sortBy { case (a, c) => (-c, a) }.head._1
+  }
+
+  /** (envo) VALUES rows of the restricted concepts that are strict
+    * descendants of `restrictRootEnvo` — the oracle's copy of the allowed
+    * set, computed by the SAME formula as EnvoDict.descendantsOf. */
+  private def restrictAllowedValues: String = {
+    val full = KgPipeline.sharedDict
+    val root = restrictRootEnvo
+    val allowed = restrictedEnvoInts
+      .filter(e => full.closure.getOrElse(e, Array.empty[Int]).contains(root)).sorted
+    require(allowed.nonEmpty, "o9 allowed set must be non-empty")
+    allowed.map(e => s"  ($e)").mkString(",\n")
   }
 
   /** (envo, curie, name) VALUES rows for the restricted concepts — the
@@ -779,6 +837,48 @@ object SparkEntry {
          |kept AS (SELECT * FROM nulltool UNION ALL SELECT * FROM k2)
          |SELECT CAST(conv AS VARCHAR) AS conv_id, envo, CAST(count(*) AS DOUBLE) AS score
          |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "o8_ui_scoring_restricted" ->
+      s"""WITH fe(form, envo) AS (VALUES
+         |$restrictedFormEnvoValues),
+         |t AS (SELECT doc_id, text ||
+         |  CASE doc_id % 5 WHEN 0 THEN ' the ocean meets the sea near the ocean'
+         |                  WHEN 1 THEN ' mud by the lake and garden mud'
+         |                  WHEN 2 THEN ' OCEAN stays blocked but pond counts'
+         |                  ELSE '' END AS t2
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(t2, '[^A-Za-z0-9]+'), x -> x <> '')) AS raw
+         |  FROM t),
+         |m AS (SELECT doc_id, lower(raw) AS form FROM tok
+         |  WHERE lower(raw) IN ('ocean', 'sea', 'lake', 'mud', 'garden', 'pond')
+         |    AND $restrictedStopPredicate),
+         |r AS (SELECT doc_id % 50 AS conv, doc_id AS turn, doc_id % 7 AS th, envo
+         |  FROM m JOIN fe USING (form)),
+         |s1 AS (SELECT conv, th, min(turn) AS mt FROM r GROUP BY 1, 2),
+         |k1 AS (SELECT r.* FROM r JOIN s1 ON r.conv = s1.conv AND r.th = s1.th AND r.turn = s1.mt)
+         |SELECT CAST(conv AS VARCHAR) AS conv_id, envo, CAST(count(*) AS DOUBLE) AS score
+         |FROM k1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "o9_restrict_scoring" ->
+      s"""WITH fe(form, envo) AS (VALUES
+         |$restrictedFormEnvoValues),
+         |allowed(envo) AS (VALUES
+         |$restrictAllowedValues),
+         |t AS (SELECT doc_id, text ||
+         |  CASE doc_id % 5 WHEN 0 THEN ' the ocean meets the sea near the ocean'
+         |                  WHEN 1 THEN ' mud by the lake and garden mud'
+         |                  WHEN 2 THEN ' OCEAN stays blocked but pond counts'
+         |                  ELSE '' END AS t2
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(t2, '[^A-Za-z0-9]+'), x -> x <> '')) AS raw
+         |  FROM t),
+         |m AS (SELECT doc_id, lower(raw) AS form FROM tok
+         |  WHERE lower(raw) IN ('ocean', 'sea', 'lake', 'mud', 'garden', 'pond')
+         |    AND $restrictedStopPredicate)
+         |SELECT CAST(doc_id AS VARCHAR) AS conv_id, envo, CAST(count(*) AS DOUBLE) AS score
+         |FROM m JOIN fe USING (form)
+         |WHERE envo IN (SELECT envo FROM allowed)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "o6_annotated_restricted" ->
       s"""WITH fe(form, envo) AS (VALUES
          |$restrictedFormEnvoValues),
