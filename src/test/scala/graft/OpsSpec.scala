@@ -239,6 +239,40 @@ class OpsSpec extends SparkSpec {
     assert(rows(5L)._1 === 0.8, "aa-soup: 5 bigrams, 1 distinct")
   }
 
+  test("minhash LSH: reported Jaccards are true, exact-dup docs always surface") {
+    import spark.implicits._
+    // independent check of the KM-hash d7 path: planted near-dups + an
+    // exact duplicate pair; true Jaccard recomputed with plain Scala sets
+    val base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val docs = Seq(
+      0L -> base,
+      1L -> base, // exact dup of 0: identical shingle set -> all 4 band keys equal -> MUST surface
+      2L -> (base + " with an extra trailing sentence appended for partial overlap"),
+      3L -> "completely different text about database query optimization and shuffle partitioning strategies here",
+      4L -> "another unrelated document describing broadcast joins and adaptive execution in detail now")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-km").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    def trueJ(a: String, b: String): Double = {
+      val (sa, sb) = (shingleSet(a), shingleSet(b))
+      (sa & sb).size.toDouble / (sa | sb).size.toDouble
+    }
+    val byId = docs.toMap
+    val pairs = graft.ops.DocOps.minhashLshPairs(spark, tmp, threshold = 0.3, dfCap = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L), "exact dup must always surface")
+    pairs.foreach { case (a, b, j) =>
+      assert(math.abs(j - trueJ(byId(a), byId(b))) < 1e-12, s"pair ($a,$b)")
+      assert(j >= 0.3)
+    }
+    assert(!pairs.exists(p => Set(p._1, p._2).exists(Set(3L, 4L).contains)),
+      "unrelated docs must not pair")
+  }
+
   test("zero embeddings score NULL cosine (excluded), never ANSI divide-by-zero") {
     import spark.implicits._
     // Spark 4 defaults ANSI mode ON where 0/0 throws — one all-zero vector
