@@ -63,6 +63,7 @@ object SparkEntry {
     "d13_decontaminate" -> ((s, d) => DocOps.decontaminate(s, d)),
     "d14_pii_scrub" -> ((s, d) => DocOps.scrubPii(s, d)),
     "d15_repetition_signals" -> ((s, d) => DocOps.repetitionSignals(s, d)),
+    "d16_corpus_report" -> ((s, d) => DocOps.corpusReport(s, d)),
     // d9 consumes d6's (oracle-expressible) Jaccard pairs so the full
     // pairs→clusters path is DuckDB-checked (recursive CTE); the SimHash
     // pair source remains covered by ComponentsSpec.
@@ -750,6 +751,23 @@ object SparkEntry {
         |    - CAST(len(list_distinct(g4)) AS DOUBLE) / CAST(len(g4) AS DOUBLE)
         |    ELSE CAST(0.0 AS DOUBLE) END AS dup_4gram_frac
         |FROM g ORDER BY doc_id""".stripMargin,
+    "d16_corpus_report" ->
+      """WITH t AS (SELECT doc_id, lang, source,
+        |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |q AS (SELECT doc_id, lang, source, len(toks) AS n_tokens,
+        |  CASE WHEN len(toks) > 0 THEN
+        |    (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+        |    + (CAST(1.0 AS DOUBLE) - CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','in','to'))) AS DOUBLE)
+        |       / CAST(len(toks) AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+        |    + least(CAST(1.0 AS DOUBLE), CAST(len(toks) AS DOUBLE) / CAST(100.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+        |  END AS quality
+        |  FROM t)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  min(quality) AS min_quality, max(quality) AS max_quality,
+        |  CAST(sum(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens
+        |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "o1_tagger_restricted" ->
       s"""WITH t AS (SELECT doc_id, text ||
         |  CASE doc_id % 5 WHEN 0 THEN ' the ocean meets the sea near the ocean'

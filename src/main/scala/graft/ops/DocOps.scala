@@ -441,6 +441,24 @@ object DocOps {
       .select("doc_id", "s_en", "s_es", "s_fr", "s_de", "pred_lang")
       .orderBy("doc_id")
 
+  /** Corpus composition report: per (lang, source) document counts, token
+    * volume, and the quality range — the dashboard a curation run reviews
+    * before tuning gate thresholds. Two-level agg (map-side combine), one
+    * shuffle on the small (lang, source) key space. min/max of per-doc
+    * quality doubles are order-invariant (no double SUM), so the report is
+    * oracle-exact; zero-token docs count toward n_docs with NULL quality. */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame =
+    withQuality(docs(spark, dir).withColumn("toks", toks))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        min("quality").as("min_quality"),
+        max("quality").as("max_quality"))
+      .withColumn("avg_tokens",
+        col("total_tokens").cast("double") / col("n_docs").cast("double"))
+      .orderBy("lang", "source")
+
   /** The d3+d4+d12 gate signals in ONE projection over ONE scan of the
     * corpus — what the curation funnel consumes. Three independent gate
     * queries would scan the documents three times; at 100 TB this is the

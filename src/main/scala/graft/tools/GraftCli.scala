@@ -24,7 +24,7 @@ import graft.synth.TranscriptGen
  *
  *   GraftCli --fasta seqs.fasta[.gz] --blastout hits.outfmt6
  *     --gi_dims <BuildDims out_dir> --out_dir DIR
- *     [--length_cutoff 4000] [+ the same flags as above]
+ *     [--length_cutoff 4000] [--min_coverage 0.97] [+ the same flags as above]
  *
  * Outputs (the reference's output inventory, README.md:124-138; the
  * graphviz renders become distributed DOT-source rows via --dot true —
@@ -86,8 +86,11 @@ object GraftCli {
           "--fasta mode needs --blastout and --gi_dims (a BuildDims out_dir)")
         val seqs = graft.sources.Fasta.read(spark, a("fasta"))
           .filter(col("seq_length") < a.getOrElse("length_cutoff", "4000").toInt)
+        // P3: optional query-coverage post-filter (the reference's
+        // documented-intent coverage gate, seqenv/seqsearch/blast.py)
         val hits = graft.sources.Outfmt6.hits(
-            graft.sources.Outfmt6.read(spark, a("blastout")))
+            graft.sources.Outfmt6.read(spark, a("blastout")),
+            minCoverage = a.get("min_coverage").map(_.toDouble))
           .join(seqs.select(col("seq_id").as("qseqid")), Seq("qseqid"), "left_semi")
         graft.sources.BioAdapter.turnsFromHits(spark, hits,
           spark.read.parquet(s"${a("gi_dims")}/gi"),
