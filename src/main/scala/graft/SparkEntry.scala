@@ -117,17 +117,8 @@ object SparkEntry {
     // text-duplicate class and tool derived deterministically from doc_id
     // and mirrored verbatim in the oracle.
     "o4_upui_scoring_restricted" -> ((s, d) => {
-      val rows = restrictedEnvoRows(s, d)
-        .withColumn("doc_id", col("conv_id").cast("bigint"))
-        .withColumn("conv_id", (col("doc_id") % 50).cast("string"))
-        .withColumn("turn_idx", col("doc_id").cast("int"))
-        // % 7, coprime with the 50 conv classes — % 5 would be constant
-        // within a conv and collapse every conversation to one turn
-        .withColumn("text_hash", col("doc_id") % 7)
-        .withColumn("tool",
-          when(col("doc_id") % 3 === 0, lit(null).cast("string"))
-            .otherwise(concat(lit("t"), (col("doc_id") % 3).cast("string"))))
-        .drop("doc_id")
+      val rows = reshapeToConvs(restrictedEnvoRows(s, d),
+        withTextHash = true, withTool = true)
       graft.stages.LinkScore.score(s, rows, restrictedDict,
           graft.stages.ScoreConfig(normalization = "upui", proportional = false))
         .select(col("conv_id"), col("envo"), col("score"))
@@ -147,12 +138,7 @@ object SparkEntry {
     // conversation counted once — the production Salting.keepFirstByAgg on
     // (conv, text_hash)) under the gate: o4's reshaping minus the tool step.
     "o8_ui_scoring_restricted" -> ((s, d) => {
-      val rows = restrictedEnvoRows(s, d)
-        .withColumn("doc_id", col("conv_id").cast("bigint"))
-        .withColumn("conv_id", (col("doc_id") % 50).cast("string"))
-        .withColumn("turn_idx", col("doc_id").cast("int"))
-        .withColumn("text_hash", col("doc_id") % 7)
-        .drop("doc_id")
+      val rows = reshapeToConvs(restrictedEnvoRows(s, d), withTextHash = true)
       graft.stages.LinkScore.score(s, rows, restrictedDict,
           graft.stages.ScoreConfig(normalization = "ui", proportional = false))
         .select(col("conv_id"), col("envo"), col("score"))
@@ -175,11 +161,7 @@ object SparkEntry {
     // into 50 conversations o4-style. turn_sample is emitted as a joined
     // string — the driver stringifies arrays differently per engine.
     "o6_annotated_restricted" -> ((s, d) => {
-      val rows = restrictedEnvoRows(s, d)
-        .withColumn("doc_id", col("conv_id").cast("bigint"))
-        .withColumn("conv_id", (col("doc_id") % 50).cast("string"))
-        .withColumn("turn_idx", col("doc_id").cast("int"))
-        .drop("doc_id")
+      val rows = reshapeToConvs(restrictedEnvoRows(s, d))
       val scores = graft.stages.LinkScore.score(s, rows, restrictedDict,
         graft.stages.ScoreConfig(normalization = "flat", proportional = true))
       graft.stages.TripleEmit.annotatedWith(s, scores, rows, restrictedDict)
@@ -193,11 +175,7 @@ object SparkEntry {
     // so every sum term is exact and the double aggregation is
     // order-invariant — the oracle's sum matches bit-wise.
     "o7_sample_projection_restricted" -> ((s, d) => {
-      val rows = restrictedEnvoRows(s, d)
-        .withColumn("doc_id", col("conv_id").cast("bigint"))
-        .withColumn("conv_id", (col("doc_id") % 50).cast("string"))
-        .withColumn("turn_idx", col("doc_id").cast("int"))
-        .drop("doc_id")
+      val rows = reshapeToConvs(restrictedEnvoRows(s, d))
       val scores = graft.stages.LinkScore.score(s, rows, restrictedDict,
         graft.stages.ScoreConfig(normalization = "flat", proportional = false))
       val abundance = scores.select(col("conv_id").as("otu")).distinct()
@@ -340,6 +318,26 @@ object SparkEntry {
     val envos = restrictedForms
       .flatMap(f => full.formToSerials(f).flatMap(full.serialToEnvoInt.get)).distinct.sorted
     envos.map(e => s"  ($e, '${full.intToCurie(e)}')").mkString(",\n")
+  }
+
+  /** The o4/o6/o7/o8 shared doc→conversation reshaping: doc_id % 50 becomes
+    * the conv (50 synthetic conversations), doc_id the turn; optionally a
+    * % 7 text-duplicate class (7 is coprime with the 50 conv classes — % 5
+    * would be constant within a conv and collapse every conversation to one
+    * turn) and a % 3 tool with the null-tool bypass class. Every modulus is
+    * mirrored verbatim in the corresponding oracles — change both together. */
+  private def reshapeToConvs(rows: DataFrame, withTextHash: Boolean = false,
+                             withTool: Boolean = false): DataFrame = {
+    val base = rows
+      .withColumn("doc_id", col("conv_id").cast("bigint"))
+      .withColumn("conv_id", (col("doc_id") % 50).cast("string"))
+      .withColumn("turn_idx", col("doc_id").cast("int"))
+    val withTh = if (withTextHash) base.withColumn("text_hash", col("doc_id") % 7) else base
+    val withT = if (withTool) withTh.withColumn("tool",
+      when(col("doc_id") % 3 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("t"), (col("doc_id") % 3).cast("string"))))
+    else withTh
+    withT.drop("doc_id")
   }
 
   /** The o2/o3 shared stage: REAL restricted tagger over injected documents

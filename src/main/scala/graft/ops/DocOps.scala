@@ -66,6 +66,18 @@ object DocOps {
     grams.join(broadcast(stop), Seq("g"), "left_anti").select("doc_id", "g")
   }
 
+  /** The d7 hash expansion, shared with tools.ProfileD7 so the profiler can
+    * never drift from the production plan: k hashes per (doc_id, g) row via
+    * posexplode of an inline array — one narrow projection instead of a
+    * crossJoin with a range relation. */
+  private[graft] def kmMinhashHashes(grams: DataFrame, k: Int): DataFrame =
+    grams
+      .withColumn("h0", md5(col("g")))
+      .withColumn("a", expr("cast(conv(substring(h0, 1, 15), 16, 10) as bigint)"))
+      .withColumn("b", expr("cast(conv(substring(h0, 17, 14), 16, 10) as bigint)"))
+      .select(col("doc_id"), posexplode(array((0 until k).map(i =>
+        expr(s"(a + $i * b) % ${1L << 60}")): _*)).as(Seq("i", "h")))
+
   // ---------------------------------------------------------------- dedup
 
   /** Exact deduplication: group by content hash, keep the smallest id —
@@ -116,14 +128,7 @@ object DocOps {
     val k = 12
     val rowsPerBand = 3
     val grams = cappedShingles(spark, dir, dfCap, persist = false)
-    // k hashes per shingle via posexplode of an inline array — one narrow
-    // projection instead of a crossJoin with a range relation
-    val hashes = grams
-      .withColumn("h0", md5(col("g")))
-      .withColumn("a", expr("cast(conv(substring(h0, 1, 15), 16, 10) as bigint)"))
-      .withColumn("b", expr("cast(conv(substring(h0, 17, 14), 16, 10) as bigint)"))
-      .select(col("doc_id"), posexplode(array((0 until k).map(i =>
-        expr(s"(a + $i * b) % ${1L << 60}")): _*)).as(Seq("i", "h")))
+    val hashes = kmMinhashHashes(grams, k)
     val sig = hashes.groupBy("doc_id", "i").agg(min("h").as("mh"))
     val bands = sig
       .withColumn("band", floor(col("i") / rowsPerBand))

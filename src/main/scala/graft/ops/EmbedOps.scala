@@ -21,13 +21,14 @@ object EmbedOps {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
-  /** dot(a, b) in double, left-to-right accumulation. */
-  private def dot(a: Column, b: Column): Column =
+  /** dot(a, b) in double, left-to-right accumulation (shared with
+    * MultimodalOps so media-cosine and embedding-cosine can never diverge). */
+  private[graft] def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  private def norm(a: Column): Column = sqrt(dot(a, a))
+  private[graft] def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** cosine from PRE-COMPUTED norm scalar columns, NULL for zero vectors.
     * Two reasons this shape is mandatory: (1) Spark 4 defaults ANSI mode ON,
@@ -37,7 +38,7 @@ object EmbedOps {
     * per PAIR inside the join cut the HOF passes from O(pairs) to O(rows)
     * (zip_with/aggregate are interpreted — see litDot's note). NULL ranks
     * after every real cosine (Spark default NULLS LAST on DESC). */
-  private def cosineFromNorms(dotCol: Column, na: Column, nb: Column): Column =
+  private[graft] def cosineFromNorms(dotCol: Column, na: Column, nb: Column): Column =
     when(na > 0 && nb > 0, dotCol / (na * nb))
 
   /** dot(vec, literal constant vector): the constant side is a literal

@@ -119,18 +119,9 @@ object MultimodalOps {
       .agg(min("media_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("payload_hash")
 
-  private def featureDot(x: org.apache.spark.sql.Column,
-                         y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-
-  /** cosine from pre-computed norm scalars, NULL for zero vectors — same
-    * shape and rationale as EmbedOps.cosineFromNorms (ANSI 0/0 throws;
-    * norms once per row, not per pair). */
-  private def featureCosine(dotCol: org.apache.spark.sql.Column,
-                            na: org.apache.spark.sql.Column,
-                            nb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(na > 0 && nb > 0, dotCol / (na * nb))
+  // vector math comes from EmbedOps (dot / norm / cosineFromNorms) — one
+  // implementation for media features and embeddings, so a numeric fix in
+  // one can never silently miss the other
 
   /** Near-dup media by feature cosine — the SCALE path: candidates share an
     * LSH sign-bucket in ≥1 of nTables hash tables (the same EmbedOps
@@ -145,7 +136,7 @@ object MultimodalOps {
                      threshold: Double = 0.999, nPlanes: Int = 8,
                      nTables: Int = 4): DataFrame = {
     val f = features.toDF().select(col("media_id"), col("feature"),
-      sqrt(featureDot(col("feature"), col("feature"))).as("fnorm"))
+      EmbedOps.norm(col("feature")).as("fnorm"))
       // both the bucket projection and the two verify-side joins read the
       // feature frame — and its upstream (decode in mapPartitions) must not
       // re-run per reference
@@ -169,7 +160,7 @@ object MultimodalOps {
       .join(f.toDF("media_a", "fa", "norm_a"), Seq("media_a"))
       .join(f.toDF("media_b", "fb", "norm_b"), Seq("media_b"))
       .withColumn("cosine",
-        featureCosine(featureDot(col("fa"), col("fb")), col("norm_a"), col("norm_b")))
+        EmbedOps.cosineFromNorms(EmbedOps.dot(col("fa"), col("fb")), col("norm_a"), col("norm_b")))
       .filter(col("cosine") >= threshold)
       .select("media_a", "media_b", "cosine")
       .orderBy("media_a", "media_b")
@@ -180,12 +171,12 @@ object MultimodalOps {
   private[graft] def featureNearDupBrute(spark: SparkSession, features: Dataset[MediaFeature],
                                          threshold: Double = 0.999): DataFrame = {
     val f = features.toDF().select(col("media_id"), col("feature"),
-      sqrt(featureDot(col("feature"), col("feature"))).as("fnorm"))
+      EmbedOps.norm(col("feature")).as("fnorm"))
     val a = f.toDF("media_a", "fa", "norm_a")
     val b = f.toDF("media_b", "fb", "norm_b")
     a.crossJoin(b).filter(col("media_a") < col("media_b"))
       .withColumn("cosine",
-        featureCosine(featureDot(col("fa"), col("fb")), col("norm_a"), col("norm_b")))
+        EmbedOps.cosineFromNorms(EmbedOps.dot(col("fa"), col("fb")), col("norm_a"), col("norm_b")))
       .filter(col("cosine") >= threshold)
       .select("media_a", "media_b", "cosine")
       .orderBy("media_a", "media_b")

@@ -31,14 +31,8 @@ object ProfileD7 {
     t("stop agg") { stop.count() }
     val grams = grams0.join(broadcast(stop), Seq("g"), "left_anti").select("doc_id", "g")
     t("grams (anti-join)") { grams.count() }
-    // mirrors DocOps.minhashLshPairs: ONE md5, Kirsch-Mitzenmacher expansion
-    val k = 12
-    val hashes = grams
-      .withColumn("h0", md5(col("g")))
-      .withColumn("a", expr("cast(conv(substring(h0, 1, 15), 16, 10) as bigint)"))
-      .withColumn("b", expr("cast(conv(substring(h0, 17, 14), 16, 10) as bigint)"))
-      .select(col("doc_id"), posexplode(array((0 until k).map(i =>
-        expr(s"(a + $i * b) % ${1L << 60}")): _*)).as(Seq("i", "h")))
+    // the SHARED production hash expansion — drift-proof by construction
+    val hashes = graft.ops.DocOps.kmMinhashHashes(grams, 12)
     t("hashes (1x md5 + KM)") { hashes.count() }
     val sig = hashes.groupBy("doc_id", "i").agg(min("h").as("mh"))
     t("sig (minhash)") { sig.count() }
