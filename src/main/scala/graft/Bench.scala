@@ -27,7 +27,9 @@ object Bench {
     // round-2 additions (keys only ADD to the r1 set — per-query
     // comparability of the original 12 is preserved)
     "d11_chunking", "d12_stratified_sample", "d14_pii_scrub",
-    "d15_repetition_signals")
+    "d15_repetition_signals",
+    // round-3 addition
+    "d16_corpus_report")
 
   private def time[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
