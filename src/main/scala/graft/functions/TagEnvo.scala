@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -19,29 +19,26 @@ import org.apache.spark.unsafe.types.UTF8String
  * is callable from SQL once registered (see [[GraftFunctions.register]]).
  * The automaton is JVM-wide (built from bundled resources on first use per
  * executor), so the expression serializes as a plain tree node with no
- * broadcast dependency. Evaluation is CodegenFallback — the automaton call
- * dominates, so codegen of the wrapper would not pay.
+ * broadcast dependency.
+ *
+ * Codegen: `doGenCode` emits a single static call into [[TagEnvoMentions
+ * .evalText]] (Scala's companion static forwarder), so the projection that
+ * hosts the tagger stays inside WholeStageCodegen — a CodegenFallback here
+ * would demote the WHOLE stage (scan-side projection + the non-empty
+ * mention filter) to interpreted Volcano iteration, taxing everything
+ * fused around the tagger, not just the tagger itself.
  */
-case class TagEnvoMentions(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class TagEnvoMentions(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = TagEnvoMentions.schema
   override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    val spans = TagEnvoMentions.automaton.tag(text)
-    val rows = new Array[Any](spans.length)
-    var i = 0
-    while (i < spans.length) {
-      val s = spans(i)
-      rows(i) = InternalRow(
-        s.start, s.end, UTF8String.fromString(s.form),
-        new GenericArrayData(s.serials), new GenericArrayData(s.envos))
-      i += 1
-    }
-    new GenericArrayData(rows)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    TagEnvoMentions.evalText(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TagEnvoMentions.evalText($c);")
 
   override protected def withNewChildInternal(newChild: Expression): TagEnvoMentions =
     copy(child = newChild)
@@ -53,6 +50,22 @@ object TagEnvoMentions {
   /** One automaton per JVM (driver and each executor), built lazily from
     * the bundled dictionary resources. */
   lazy val automaton: graft.dict.AhoCorasick = graft.KgPipeline.sharedAutomaton
+
+  /** Shared interpreted/codegen evaluation body — called from generated
+    * Java via the companion's static forwarder. */
+  def evalText(input: UTF8String): ArrayData = {
+    val spans = automaton.tag(input.toString)
+    val rows = new Array[Any](spans.length)
+    var i = 0
+    while (i < spans.length) {
+      val s = spans(i)
+      rows(i) = InternalRow(
+        s.start, s.end, UTF8String.fromString(s.form),
+        new GenericArrayData(s.serials), new GenericArrayData(s.envos))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
 
   val schema: DataType = ArrayType(StructType(Seq(
     StructField("start", IntegerType, nullable = false),

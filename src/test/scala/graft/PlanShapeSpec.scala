@@ -124,4 +124,24 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan(graft.stages.MentionDetect.detect(spark, turns, dedupeTexts = false))
     assert(!p.contains("Exchange"), s"direct tagging must be shuffle-free:\n$p")
   }
+
+  test("tag_envo expression is whole-stage-codegen'd, not a fallback") {
+    // fallback=false makes Janino compilation failures THROW instead of
+    // silently demoting the stage to interpreted eval — this pins that the
+    // doGenCode static-call path really compiles and runs
+    val turns = graft.synth.TranscriptGen.generate(spark, 20).toDF
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val detected = graft.stages.MentionDetect.detect(spark, turns, dedupeTexts = false)
+      assert(detected.count() > 0)
+      // the tagging projection must sit INSIDE a WholeStageCodegen span —
+      // under CodegenFallback it would be hoisted out of every span
+      val spans = detected.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+          if w.toString.contains("tag_envo") => w
+      }
+      assert(spans.nonEmpty,
+        s"tag_envo must be fused into a codegen span:\n${detected.queryExecution.executedPlan}")
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
 }
