@@ -66,6 +66,29 @@ object DocOps {
     grams.join(broadcast(stop), Seq("g"), "left_anti").select("doc_id", "g")
   }
 
+  /** Row-local 60-bit simhash — bit-identical to the d8 batch spec (token
+    * hash = top 60 bits of md5 = 15 hex chars; weight = in-doc token count;
+    * sign per bit). The streaming near-dup twin computes signatures with
+    * this at ingest; OpsSpec's independent JDK reimplementation pins the
+    * same spec the batch operator's DuckDB oracle checks. */
+  private[graft] def simhash60(text: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\W+").filter(_.nonEmpty)
+    val counts = new scala.collection.mutable.HashMap[String, Long]()
+    toks.foreach(t => counts.update(t, counts.getOrElse(t, 0L) + 1L))
+    val sums = new Array[Long](60)
+    counts.foreach { case (tok, w) =>
+      val hex = md.digest(tok.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      var b = 0
+      while (b < 60) { sums(b) += (if (((h >> b) & 1L) == 1L) w else -w); b += 1 }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) { if (sums(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
   /** The d7 hash expansion, shared with tools.ProfileD7 so the profiler can
     * never drift from the production plan: k hashes per (doc_id, g) row via
     * posexplode of an inline array — one narrow projection instead of a

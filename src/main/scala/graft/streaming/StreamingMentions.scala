@@ -17,6 +17,13 @@ final case class StreamMention(
 /** Running per-conversation concept count emitted by the stateful scorer. */
 final case class ConvConceptCount(conv_id: String, envo: Int, occurrences: Long)
 
+/** One document arriving on the curation stream. */
+final case class StreamDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
+/** A streaming near-dup match: `doc_id` arrived within `hamming` bits of
+  * the earlier-seen `dup_of`. */
+final case class NearDupHit(doc_id: Long, dup_of: Long, hamming: Int)
+
 /**
  * Structured Streaming surface of the engine: the batch tagger applied to a
  * live transcript stream (readStream → transform → writeStream).
@@ -83,6 +90,61 @@ object StreamingMentions {
       .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
       .as[Turn]
     mentionStream(spark, gated, ac)
+  }
+
+  /** Streaming NEAR-dup detection — the streaming twin of the batch SimHash
+    * operator (d8): each arriving doc's 60-bit signature is computed
+    * row-locally (the same spec the batch op's DuckDB oracle checks,
+    * `DocOps.simhash60`), banded into the same 4×15-bit chunk keys, and
+    * matched against per-bucket state via `flatMapGroupsWithState`. A doc
+    * within `maxHamming` bits of a previously-seen doc in ANY shared bucket
+    * emits one hit per shared bucket (consumers dedupe (doc_id, dup_of) per
+    * micro-batch when exactly-once pairs matter); first arrivals emit
+    * nothing and enter the bucket state.
+    *
+    * Scale shape: state per bucket = the (doc_id, simhash) scalars seen —
+    * two longs per doc per bucket, aged out by the processing-time timeout
+    * (finished topics go cold); the banding bounds comparisons per arrival
+    * to the 4 visited buckets, never the corpus. Pass `stateTimeout = None`
+    * in tests — ProcessingTimeTimeout livelocks `processAllAvailable`. */
+  def nearDupStream(spark: SparkSession, docs: Dataset[StreamDoc],
+                    maxHamming: Int = 12,
+                    stateTimeout: Option[String] = Some("1 hour")): Dataset[NearDupHit] = {
+    import spark.implicits._
+    val timeoutConf = stateTimeout
+      .map(_ => GroupStateTimeout.ProcessingTimeTimeout())
+      .getOrElse(GroupStateTimeout.NoTimeout())
+    val keyed: Dataset[(String, Long, Long)] = docs.mapPartitions { iter =>
+      iter.flatMap { d =>
+        val sh = graft.ops.DocOps.simhash60(d.text)
+        (0 until 4).iterator.map(c => (s"$c:${(sh >> (c * 15)) & 32767L}", d.doc_id, sh))
+      }
+    }
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Long)], NearDupHit](
+        OutputMode.Update(), timeoutConf) {
+        (_, rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(List.empty[(Long, Long)])
+            val out = List.newBuilder[NearDupHit]
+            // deterministic within a batch: smaller doc_ids are "earlier"
+            rows.toSeq.sortBy(_._2).foreach { case (_, id, sh) =>
+              if (!seen.exists(_._1 == id)) {
+                seen.foreach { case (pid, psh) =>
+                  val ham = java.lang.Long.bitCount(psh ^ sh)
+                  if (ham <= maxHamming) out += NearDupHit(id, pid, ham)
+                }
+                seen = (id, sh) :: seen
+              }
+            }
+            state.update(seen)
+            stateTimeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
   }
 
   /** Incremental per-conversation concept counts: KeyValueGroupedDataset +

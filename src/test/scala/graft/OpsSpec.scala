@@ -46,6 +46,11 @@ class OpsSpec extends SparkSpec {
       assert(trueHam === ham, s"pair ($a,$b)")
       assert(ham <= 12)
     }
+    // the row-local signature (streaming near-dup twin) implements the SAME
+    // spec the batch op and this independent impl agree on
+    docs.take(25).foreach { case (id, t) =>
+      assert(DocOps.simhash60(t) === simhashOf(t), s"doc $id")
+    }
   }
 
   test("simhash banding finds every pair with Hamming <= 3 (pigeonhole)") {

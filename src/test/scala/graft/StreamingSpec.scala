@@ -111,6 +111,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup surfaces cross-batch simhash neighbors, ignores unrelated") {
+    import graft.streaming.{NearDupHit, StreamDoc}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val hits = StreamingMentions.nearDupStream(spark, input.toDS(),
+      maxHamming = 12, stateTimeout = None)
+    val q = hits.writeStream.format("memory").queryName("neardup")
+      .outputMode("update").start()
+    try {
+      def doc(id: Long, text: String, tsMin: Int) =
+        StreamDoc(id, text, new Timestamp(1735689600000L + tsMin * 60000L))
+      val base = "the quick brown fox jumps over the lazy dog near the quiet river bank every single morning"
+      input.addData(
+        doc(1, base, 0),
+        doc(2, "an entirely different report about spark shuffle partitions and adaptive execution tuning knobs", 1))
+      q.processAllAvailable()
+      // batch 2: exact duplicate of doc 1 must match ACROSS batches via the
+      // bucket state; another unrelated doc must stay silent
+      input.addData(
+        doc(3, base, 5),
+        doc(4, "unrelated prose describing broadcast joins and codegen stage fusion in great detail today", 6))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, dup_of, hamming FROM neardup")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // identical text -> identical signature -> hit in every shared bucket,
+      // deduped here to the one logical pair (3 matched earlier-seen 1)
+      assert(rows === Set((3L, 1L, 0)))
+    } finally q.stop()
+  }
+
   test("stateful running per-conversation scores accumulate across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Turn]
