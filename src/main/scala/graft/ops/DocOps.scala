@@ -40,8 +40,8 @@ object DocOps {
     * the representation (sizes AND intersections — mirrored by the DuckDB
     * oracles). The stop set is tiny by Zipf construction, so the anti-join
     * broadcasts; the dropped count is printed, never silent. */
-  private def cappedShingles(spark: SparkSession, dir: String, dfCap: Int,
-                             persist: Boolean): DataFrame = {
+  private[graft] def cappedShingles(spark: SparkSession, dir: String, dfCap: Int,
+                                    persist: Boolean): DataFrame = {
     // persist the PRE-cap shingles: both the stop-agg and the anti-join
     // consume them, so one tokenization pass instead of two — and d6's
     // downstream branches read the same cache
@@ -73,13 +73,19 @@ object DocOps {
     * same spec the batch operator's DuckDB oracle checks. */
   private[graft] def simhash60(text: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\W+").filter(_.nonEmpty)
+    // plain toLowerCase (default locale): Spark's lower() falls back to
+    // String.toLowerCase() for non-ASCII, so matching it — not Locale.ROOT
+    // — is what makes streaming/batch signature parity unconditional
+    val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
     val counts = new scala.collection.mutable.HashMap[String, Long]()
     toks.foreach(t => counts.update(t, counts.getOrElse(t, 0L) + 1L))
     val sums = new Array[Long](60)
     counts.foreach { case (tok, w) =>
-      val hex = md.digest(tok.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
-      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      // top 60 bits of md5 without the hex round-trip: first 8 digest bytes
+      // big-endian, logically shifted — bit-identical to
+      // parseLong(hexPrefix15, 16), zero string allocations on the ingest
+      // hot path
+      val h = java.nio.ByteBuffer.wrap(md.digest(tok.getBytes("UTF-8"))).getLong >>> 4
       var b = 0
       while (b < 60) { sums(b) += (if (((h >> b) & 1L) == 1L) w else -w); b += 1 }
     }
@@ -88,6 +94,20 @@ object DocOps {
     while (b < 60) { if (sums(b) > 0) sig |= (1L << b); b += 1 }
     sig
   }
+
+  /** minhash signatures → (doc_id, bkey) LSH band rows (3 slots per band),
+    * shared with tools.ProfileD7 like `kmMinhashHashes`. */
+  private[graft] def minhashBandKeys(hashes: DataFrame, rowsPerBand: Int): DataFrame =
+    hashes.groupBy("doc_id", "i").agg(min("h").as("mh"))
+      .withColumn("band", floor(col("i") / rowsPerBand))
+      .withColumn("slot", col("i") % rowsPerBand)
+      .groupBy("doc_id", "band")
+      .agg(
+        min(when(col("slot") === 0, col("mh"))).as("m0"),
+        min(when(col("slot") === 1, col("mh"))).as("m1"),
+        min(when(col("slot") === 2, col("mh"))).as("m2"))
+      .select(col("doc_id"),
+        concat_ws("|", col("band"), col("m0"), col("m1"), col("m2")).as("bkey"))
 
   /** The d7 hash expansion, shared with tools.ProfileD7 so the profiler can
     * never drift from the production plan: k hashes per (doc_id, g) row via
@@ -151,19 +171,9 @@ object DocOps {
     val k = 12
     val rowsPerBand = 3
     val grams = cappedShingles(spark, dir, dfCap, persist = false)
-    val hashes = kmMinhashHashes(grams, k)
-    val sig = hashes.groupBy("doc_id", "i").agg(min("h").as("mh"))
-    val bands = sig
-      .withColumn("band", floor(col("i") / rowsPerBand))
-      .withColumn("slot", col("i") % rowsPerBand)
-      .groupBy("doc_id", "band")
-      .agg(
-        min(when(col("slot") === 0, col("mh"))).as("m0"),
-        min(when(col("slot") === 1, col("mh"))).as("m1"),
-        min(when(col("slot") === 2, col("mh"))).as("m2"))
-      .select(col("doc_id"), concat_ws("|", col("band"), col("m0"), col("m1"), col("m2")).as("bkey"))
+    val bands = minhashBandKeys(kmMinhashHashes(grams, k), rowsPerBand)
       // persisted: the band self-join below consumes bands TWICE — without
-      // this the whole tokenize→12×md5→minhash pipeline executes once per
+      // this the whole tokenize→md5→minhash pipeline executes once per
       // side (measured 2x the md5 work at sf0.1). Tiny: 4 rows per doc.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // persisted: candidates feed BOTH the candidate-doc restriction and the

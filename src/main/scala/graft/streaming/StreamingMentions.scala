@@ -17,7 +17,10 @@ final case class StreamMention(
 /** Running per-conversation concept count emitted by the stateful scorer. */
 final case class ConvConceptCount(conv_id: String, envo: Int, occurrences: Long)
 
-/** One document arriving on the curation stream. */
+/** One document arriving on the curation stream. `ts` is carried through
+  * for sinks/audit; `nearDupStream` matching and state ageout are
+  * PROCESSING-time only (no watermark — event time does not affect which
+  * pairs match). */
 final case class StreamDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
 
 /** A streaming near-dup match: `doc_id` arrived within `hamming` bits of
@@ -121,23 +124,26 @@ object StreamingMentions {
       }
     }
     keyed.groupByKey(_._1)
-      .flatMapGroupsWithState[List[(Long, Long)], NearDupHit](
+      .flatMapGroupsWithState[Map[Long, Long], NearDupHit](
         OutputMode.Update(), timeoutConf) {
         (_, rows, state) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            var seen = state.getOption.getOrElse(List.empty[(Long, Long)])
+            // id -> simhash map: O(1) replay/membership check (at-least-once
+            // sources redeliver doc_ids), one linear pass for the hamming
+            // comparisons
+            var seen = state.getOption.getOrElse(Map.empty[Long, Long])
             val out = List.newBuilder[NearDupHit]
             // deterministic within a batch: smaller doc_ids are "earlier"
             rows.toSeq.sortBy(_._2).foreach { case (_, id, sh) =>
-              if (!seen.exists(_._1 == id)) {
+              if (!seen.contains(id)) {
                 seen.foreach { case (pid, psh) =>
                   val ham = java.lang.Long.bitCount(psh ^ sh)
                   if (ham <= maxHamming) out += NearDupHit(id, pid, ham)
                 }
-                seen = (id, sh) :: seen
+                seen = seen.updated(id, sh)
               }
             }
             state.update(seen)

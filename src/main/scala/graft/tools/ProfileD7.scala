@@ -2,9 +2,13 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 import graft.Sessions
+import graft.ops.DocOps
 
 /** Stage-by-stage timing of the d7 MinHash+LSH plan — run when d7's wall
-  * time drifts, to see which stage moved. Usage:
+  * time drifts, to see which stage moved. Every stage is built by the SAME
+  * private[graft] DocOps builders the production operator composes
+  * (cappedShingles → kmMinhashHashes → minhashBandKeys), so the profiler
+  * cannot drift from the production plan. Usage:
   *   sbt -batch "runMain graft.tools.ProfileD7 /root/testdata/sf0.1"
   */
 object ProfileD7 {
@@ -17,35 +21,15 @@ object ProfileD7 {
       System.err.println(f"[d7prof] $name%-28s rows=$n%-9d sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
 
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val toks = filter(split(lower(col("text")), "\\W+"), x => x =!= lit(""))
-    val shingles = array_distinct(
-      expr("transform(sequence(1, greatest(size(toks) - 2, 0)), " +
-        "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))"))
-    val grams0 = docs.withColumn("toks", toks)
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(shingles).as("g"))
-    t("grams0 (tokenize)") { grams0.count() }
-    val stop = grams0.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") > 50).select("g").persist()
-    t("stop agg") { stop.count() }
-    val grams = grams0.join(broadcast(stop), Seq("g"), "left_anti").select("doc_id", "g")
-    t("grams (anti-join)") { grams.count() }
-    // the SHARED production hash expansion — drift-proof by construction
-    val hashes = graft.ops.DocOps.kmMinhashHashes(grams, 12)
+    val grams = DocOps.cappedShingles(spark, dir, dfCap = 50, persist = false)
+    t("grams (tokenize+dfcap)") { grams.count() }
+    val hashes = DocOps.kmMinhashHashes(grams, 12)
     t("hashes (1x md5 + KM)") { hashes.count() }
-    val sig = hashes.groupBy("doc_id", "i").agg(min("h").as("mh"))
-    t("sig (minhash)") { sig.count() }
-    val bands = sig
-      .withColumn("band", floor(col("i") / 3))
-      .withColumn("slot", col("i") % 3)
-      .groupBy("doc_id", "band")
-      .agg(min(when(col("slot") === 0, col("mh"))).as("m0"),
-        min(when(col("slot") === 1, col("mh"))).as("m1"),
-        min(when(col("slot") === 2, col("mh"))).as("m2"))
-      .select(col("doc_id"), concat_ws("|", col("band"), col("m0"), col("m1"), col("m2")).as("bkey"))
-    val candidates = bands.toDF("doc_a", "bkey")
-      .join(bands.toDF("doc_b", "bkey"), Seq("bkey"))
+    val bands = DocOps.minhashBandKeys(hashes, rowsPerBand = 3)
+    t("sig+bands") { bands.count() }
+    val bandsP = bands.persist()
+    val candidates = bandsP.toDF("doc_a", "bkey")
+      .join(bandsP.toDF("doc_b", "bkey"), Seq("bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
       .persist()
