@@ -71,12 +71,21 @@ object DocOps {
     * sign per bit). The streaming near-dup twin computes signatures with
     * this at ingest; OpsSpec's independent JDK reimplementation pins the
     * same spec the batch operator's DuckDB oracle checks. */
-  private[graft] def simhash60(text: String): Long = {
+  private[graft] def simhash60(text: String): Long = simhash60Toks(tokenize(text))
+
+  /** Row-local twin of the `toks` column above. Plain toLowerCase (default
+    * locale): Spark's lower() falls back to String.toLowerCase() for
+    * non-ASCII, so matching it — not Locale.ROOT — is what makes streaming/
+    * batch signature parity unconditional WITHIN one JVM. Across JVMs the
+    * signatures of non-ASCII text are reproducible only under the same
+    * default locale (tr_TR dotless-i etc.) — any deployment that compares
+    * persisted/checkpointed signatures across clusters must pin
+    * -Duser.language/-Duser.country (or run ASCII-folded text). */
+  private[graft] def tokenize(text: String): Array[String] =
+    text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+
+  private[graft] def simhash60Toks(toks: Array[String]): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    // plain toLowerCase (default locale): Spark's lower() falls back to
-    // String.toLowerCase() for non-ASCII, so matching it — not Locale.ROOT
-    // — is what makes streaming/batch signature parity unconditional
-    val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
     val counts = new scala.collection.mutable.HashMap[String, Long]()
     toks.foreach(t => counts.update(t, counts.getOrElse(t, 0L) + 1L))
     val sums = new Array[Long](60)

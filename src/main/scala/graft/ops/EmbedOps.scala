@@ -88,6 +88,10 @@ object EmbedOps {
       .partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
+      // zero-norm vectors score NULL, which sorts last but would still be
+      // rank-padded into the top-k when a query has < k real neighbors —
+      // exclude them outright (no-op on the oracle data: no zero vectors)
+      .filter(col("cosine").isNotNull)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -167,6 +171,9 @@ object EmbedOps {
       .partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     cands
+      // exclude NULL-cosine (zero-norm) candidates from ranking, as in
+      // cosineTopK
+      .filter(col("cosine").isNotNull)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -268,6 +275,9 @@ object EmbedOps {
       .partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     cands
+      // exclude NULL-cosine (zero-norm) candidates from ranking, as in
+      // cosineTopK
+      .filter(col("cosine").isNotNull)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),

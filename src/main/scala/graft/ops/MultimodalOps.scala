@@ -147,6 +147,9 @@ object MultimodalOps {
     val firstRow = f.take(1)
     if (firstRow.isEmpty) {
       import spark.implicits._
+      // release the cache handle before bailing — the caller never sees `f`,
+      // so an orphaned empty cached frame would accumulate per call
+      f.unpersist()
       return spark.emptyDataset[(Long, Long, Double)].toDF("media_a", "media_b", "cosine")
     }
     val dim = firstRow.head.getAs[scala.collection.Seq[Float]]("feature").length

@@ -27,6 +27,11 @@ final case class StreamDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
   * the earlier-seen `dup_of`. */
 final case class NearDupHit(doc_id: Long, dup_of: Long, hamming: Int)
 
+/** Per-bucket near-dup state: `seen` gives O(1) replay/membership checks,
+  * `order` preserves arrival order so the cap evicts oldest-first (a Map
+  * alone loses insertion order across the state encoder round-trip). */
+final case class BucketState(seen: Map[Long, Long], order: Seq[Long])
+
 /**
  * Structured Streaming surface of the engine: the batch tagger applied to a
  * live transcript stream (readStream → transform → writeStream).
@@ -107,24 +112,42 @@ object StreamingMentions {
     *
     * Scale shape: state per bucket = the (doc_id, simhash) scalars seen —
     * two longs per doc per bucket, aged out by the processing-time timeout
-    * (finished topics go cold); the banding bounds comparisons per arrival
-    * to the 4 visited buckets, never the corpus. Pass `stateTimeout = None`
-    * in tests — ProcessingTimeTimeout livelocks `processAllAvailable`. */
+    * (finished topics go cold) AND hard-capped at `maxDocsPerBucket`: a
+    * degenerate bucket (mass boilerplate sharing all 4 chunk keys) would
+    * otherwise grow one entry per doc within the timeout and pay
+    * O(|bucket|) comparisons per arrival. Past the cap the OLDEST doc is
+    * evicted (newer docs are the likelier dup sources for a live stream)
+    * and `overflow` counts every eviction loudly — hits are still emitted
+    * against everything currently in state, never silently dropped; what
+    * degrades is recall against evicted history, which the counter
+    * quantifies. The banding bounds comparisons per arrival to the 4
+    * visited buckets, never the corpus. Pass `stateTimeout = None` in
+    * tests — ProcessingTimeTimeout livelocks `processAllAvailable`. */
   def nearDupStream(spark: SparkSession, docs: Dataset[StreamDoc],
                     maxHamming: Int = 12,
-                    stateTimeout: Option[String] = Some("1 hour")): Dataset[NearDupHit] = {
+                    stateTimeout: Option[String] = Some("1 hour"),
+                    maxDocsPerBucket: Int = 100000,
+                    overflow: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[NearDupHit] = {
     import spark.implicits._
     val timeoutConf = stateTimeout
       .map(_ => GroupStateTimeout.ProcessingTimeTimeout())
       .getOrElse(GroupStateTimeout.NoTimeout())
     val keyed: Dataset[(String, Long, Long)] = docs.mapPartitions { iter =>
       iter.flatMap { d =>
-        val sh = graft.ops.DocOps.simhash60(d.text)
-        (0 until 4).iterator.map(c => (s"$c:${(sh >> (c * 15)) & 32767L}", d.doc_id, sh))
+        val toks = graft.ops.DocOps.tokenize(d.text)
+        // batch parity: d8 explodes the token array, so a token-less doc
+        // emits no rows and never enters the candidate space — mirror that
+        // here (signature-0 docs would otherwise all match each other at
+        // hamming 0 in every bucket)
+        if (toks.isEmpty) Iterator.empty
+        else {
+          val sh = graft.ops.DocOps.simhash60Toks(toks)
+          (0 until 4).iterator.map(c => (s"$c:${(sh >> (c * 15)) & 32767L}", d.doc_id, sh))
+        }
       }
     }
     keyed.groupByKey(_._1)
-      .flatMapGroupsWithState[Map[Long, Long], NearDupHit](
+      .flatMapGroupsWithState[BucketState, NearDupHit](
         OutputMode.Update(), timeoutConf) {
         (_, rows, state) =>
           if (state.hasTimedOut) {
@@ -133,8 +156,10 @@ object StreamingMentions {
           } else {
             // id -> simhash map: O(1) replay/membership check (at-least-once
             // sources redeliver doc_ids), one linear pass for the hamming
-            // comparisons
-            var seen = state.getOption.getOrElse(Map.empty[Long, Long])
+            // comparisons; `order` carries arrival order for the cap
+            val st = state.getOption.getOrElse(BucketState(Map.empty, Vector.empty))
+            var seen = st.seen
+            var order = st.order.toVector
             val out = List.newBuilder[NearDupHit]
             // deterministic within a batch: smaller doc_ids are "earlier"
             rows.toSeq.sortBy(_._2).foreach { case (_, id, sh) =>
@@ -144,9 +169,15 @@ object StreamingMentions {
                   if (ham <= maxHamming) out += NearDupHit(id, pid, ham)
                 }
                 seen = seen.updated(id, sh)
+                order = order :+ id
+                if (order.size > maxDocsPerBucket) {
+                  seen -= order.head
+                  order = order.tail
+                  overflow.foreach(_.add(1L))
+                }
               }
             }
-            state.update(seen)
+            state.update(BucketState(seen, order))
             stateTimeout.foreach(state.setTimeoutDuration)
             out.result().iterator
           }

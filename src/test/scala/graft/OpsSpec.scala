@@ -302,6 +302,30 @@ class OpsSpec extends SparkSpec {
     assert(!lsh.exists(r => r.getLong(0) == 7L || r.getLong(1) == 7L))
   }
 
+  test("zero embeddings never rank-pad top-k when real neighbors are scarce") {
+    import spark.implicits._
+    // the scarce-neighbor case: with < k non-null neighbors, NULL cosine
+    // sorts last but row_number still hands it a rank <= k — the zero
+    // vector must be EXCLUDED, not rank-padded
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zvec2").toString
+    Seq(
+      (0L, Array.tabulate(8)(_.toFloat + 1f)),
+      (1L, Array.tabulate(8)(d => 2f * d + 1f)),
+      (2L, Array.fill(8)(0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    for ((name, rows) <- Seq(
+        "brute" -> EmbedOps.cosineTopK(spark, tmp, k = 3, nQueries = 1).collect(),
+        "lsh" -> EmbedOps.lshTopK(spark, tmp, k = 3, nQueries = 1,
+          nPlanes = 1, nTables = 4).collect(),
+        "ivf" -> EmbedOps.ivfTopK(spark, tmp, k = 3, nQueries = 1,
+          nlist = 2, nprobe = 2).collect())) {
+      assert(rows.forall(_.getLong(2) != 2L), s"$name: zero vector rank-padded in")
+      assert(rows.forall(!_.isNullAt(3)), s"$name: NULL cosine emitted")
+      assert(rows.map(_.getLong(2)).toSet === Set(1L), s"$name: the one real neighbor")
+    }
+  }
+
   test("HLL approx distinct within its relative standard deviation bound") {
     graft.ops.RelationalOps.approxDistinct(spark, dir, rsd = 0.02).collect().foreach { r =>
       val (exact, approx) = (r.getLong(1), r.getLong(2))

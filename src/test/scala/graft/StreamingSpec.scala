@@ -141,6 +141,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup skips token-less docs (batch d8 parity)") {
+    import graft.streaming.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val hits = StreamingMentions.nearDupStream(spark, input.toDS(),
+      maxHamming = 12, stateTimeout = None)
+    val q = hits.writeStream.format("memory").queryName("neardup_empty")
+      .outputMode("update").start()
+    try {
+      def doc(id: Long, text: String, tsMin: Int) =
+        StreamDoc(id, text, new Timestamp(1735689600000L + tsMin * 60000L))
+      // batch d8 drops token-less docs (explode of an empty token array);
+      // pre-fix, these all got signature 0 and matched each other at
+      // hamming 0 in all 4 buckets
+      input.addData(doc(1, "", 0), doc(2, "!!! ... ???", 1), doc(3, "   ", 2))
+      q.processAllAvailable()
+      input.addData(doc(4, "...", 3),
+        doc(5, "a real document with words in it about rivers and lakes", 4))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM neardup_empty").collect().isEmpty,
+        "token-less docs must never pair")
+    } finally q.stop()
+  }
+
+  test("streaming near-dup caps per-bucket state: oldest evicted, overflow counted") {
+    import graft.streaming.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val overflow = spark.sparkContext.longAccumulator("neardup_bucket_overflow")
+    val hits = StreamingMentions.nearDupStream(spark, input.toDS(),
+      maxHamming = 12, stateTimeout = None, maxDocsPerBucket = 3,
+      overflow = Some(overflow))
+    val q = hits.writeStream.format("memory").queryName("neardup_cap")
+      .outputMode("update").start()
+    try {
+      def doc(id: Long, tsMin: Int) = StreamDoc(id,
+        "identical boilerplate text repeated across the whole degenerate bucket today",
+        new Timestamp(1735689600000L + tsMin * 60000L))
+      // 5 identical docs, one per batch, through a cap-3 bucket
+      (1 to 5).foreach { i => input.addData(doc(i.toLong, i)); q.processAllAvailable() }
+      // doc 6 must match ONLY the 3 docs still in state (3,4,5 — 1 and 2
+      // evicted oldest-first), proving state stayed <= cap
+      input.addData(doc(6L, 6)); q.processAllAvailable()
+      val dupOf = spark.sql("SELECT DISTINCT dup_of FROM neardup_cap WHERE doc_id = 6")
+        .collect().map(_.getLong(0)).toSet
+      assert(dupOf === Set(3L, 4L, 5L), s"doc 6 matched $dupOf, state not capped at 3")
+      // hits are never silently dropped: every arrival matched all docs then in state
+      val hitsPerDoc = spark.sql(
+        "SELECT doc_id, count(DISTINCT dup_of) FROM neardup_cap GROUP BY doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(hitsPerDoc(2L) === 1L && hitsPerDoc(3L) === 2L && hitsPerDoc(4L) === 3L)
+      assert(hitsPerDoc(5L) === 3L, "doc 5 sees capped state of 3")
+      // identical docs share all 4 chunk buckets: docs 4,5,6 each evict one
+      // doc from each of the 4 buckets = 12 evictions
+      assert(overflow.value === 12L, s"overflow counter ${overflow.value}")
+    } finally q.stop()
+  }
+
   test("stateful running per-conversation scores accumulate across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Turn]
