@@ -56,9 +56,22 @@ final case class KgResult(
  * TripleEmit (+ co-occurrence edges), each stage optionally checkpointed
  * with a lineage manifest for resume.
  */
-final class KgPipeline(spark: SparkSession, cfg: PipelineConfig = PipelineConfig()) {
+final class KgPipeline(spark: SparkSession, cfg: PipelineConfig = PipelineConfig(),
+                       dictOverride: Option[EnvoDict] = None) {
 
-  val dict: EnvoDict = KgPipeline.sharedDict
+  /** The dictionary every stage uses. Default: the bundled EnvO artifact
+    * (one shared instance per JVM). An override threads a caller-supplied
+    * vocabulary through the WHOLE composed run — tagger (as a broadcast
+    * automaton via the injected-dict tag expression), scorer closure,
+    * canonicalization dim — so the full `run()` wiring is testable and
+    * driveable under a restricted or domain dictionary. */
+  val dict: EnvoDict = dictOverride.getOrElse(KgPipeline.sharedDict)
+
+  /** Broadcast automaton for the override path; the default path keeps the
+    * JVM-global automaton (zero broadcast, built per executor from bundled
+    * resources). Lazy: built only if run() is called. */
+  private lazy val dictBc: Option[org.apache.spark.broadcast.Broadcast[AhoCorasick]] =
+    dictOverride.map(d => spark.sparkContext.broadcast(AhoCorasick.build(d)))
 
   /** md5 of the analyzed input lineage + every config knob that changes
     * stage output — recorded in checkpoint manifests so resuming a dir
@@ -86,7 +99,13 @@ final class KgPipeline(spark: SparkSession, cfg: PipelineConfig = PipelineConfig
           s"DSv2(${v2.schema.catalogString},${v2.name})"
         case node => node.simpleString(200)
       }.mkString("\n")
-      val key = s"$planKey|${cfg.score}|${cfg.evidenceCap}|${cfg.dedupeTexts}"
+      // dict identity: an overridden vocabulary changes every stage's
+      // output, so resuming a checkpoint written under a different
+      // dictionary must fail loudly like any other config change
+      val dictKey = dictOverride
+        .map(d => s"dict:${d.formToSerials.keys.toSeq.sorted.mkString(",").hashCode}")
+        .getOrElse("dict:shared")
+      val key = s"$planKey|${cfg.score}|${cfg.evidenceCap}|${cfg.dedupeTexts}|$dictKey"
       java.util.UUID.nameUUIDFromBytes(key.getBytes("UTF-8")).toString
     }
 
@@ -95,7 +114,7 @@ final class KgPipeline(spark: SparkSession, cfg: PipelineConfig = PipelineConfig
     val fp = fingerprint(turns)
 
     val turnMentions0 = Checkpoint.stage(spark, ckpt, "mentions", fp) {
-      MentionDetect.detect(spark, turns, cfg.dedupeTexts)
+      MentionDetect.detect(spark, turns, cfg.dedupeTexts, dictBc)
     }
     // the hot intermediate is the FLAT envo-occurrence projection — all
     // primitive columns, so the columnar cache build stays cheap (caching

@@ -186,6 +186,36 @@ object SparkEntry {
       graft.stages.Abundance.projectToSamples(scores, abundance)
         .orderBy("envo", "sample")
     }),
+    // O10 — the COMPOSED pipeline under the gate: not a hand-wired stage
+    // chain but the production `KgPipeline(...).run(...)` itself (distinct-
+    // text tagging + join-back, envoRows sharing across branches,
+    // persistIntermediates, canonicalization) with the restricted dictionary
+    // INJECTED as a broadcast automaton. Input: documents reshaped into the
+    // o4-style 50 synthetic conversations (conv = doc_id % 50, turn =
+    // doc_id) as real Turn-shaped rows, text injected as in o1. Flat +
+    // proportional scoring ignores tool/text_hash, so the oracle is exactly
+    // o6's recomputation — what o10 adds under the hash is the run()
+    // wiring that composes the stages.
+    "o10_pipeline_restricted" -> ((s, d) => {
+      val turns = s.read.parquet(s"$d/documents.parquet")
+        .select(
+          (col("doc_id") % 50).cast("string").as("conv_id"),
+          col("doc_id").cast("int").as("turn_idx"),
+          lit("user").as("role"),
+          taggerInjection.as("text"),
+          when(col("doc_id") % 3 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("t"), (col("doc_id") % 3).cast("string"))).as("tool"),
+          lit(java.sql.Timestamp.valueOf("2025-01-01 00:00:00")).as("ts"))
+      new KgPipeline(s,
+          PipelineConfig(
+            score = graft.stages.ScoreConfig(normalization = "flat", proportional = true),
+            persistIntermediates = true),
+          dictOverride = Some(restrictedDict))
+        .run(turns).annotated
+        .select(col("subj"), col("pred"), col("obj"), col("weight"), col("evidence"),
+          col("name"), concat_ws(",", col("turn_sample")).as("turns"))
+        .orderBy("subj", "obj")
+    }),
     // --- similarity search (embeddings) ---
     "e1_cosine_topk" -> ((s, d) => EmbedOps.cosineTopK(s, d)),
     "e2_cosine_neardup" -> ((s, d) => EmbedOps.cosineNearDupPairs(s, d)),
@@ -896,6 +926,38 @@ object SparkEntry {
          |WHERE envo IN (SELECT envo FROM allowed)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "o6_annotated_restricted" ->
+      s"""WITH fe(form, envo) AS (VALUES
+         |$restrictedFormEnvoValues),
+         |en(envo, curie, name) AS (VALUES
+         |$restrictedEnvoCurieNameValues),
+         |t AS (SELECT doc_id, text ||
+         |  CASE doc_id % 5 WHEN 0 THEN ' the ocean meets the sea near the ocean'
+         |                  WHEN 1 THEN ' mud by the lake and garden mud'
+         |                  WHEN 2 THEN ' OCEAN stays blocked but pond counts'
+         |                  ELSE '' END AS t2
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(t2, '[^A-Za-z0-9]+'), x -> x <> '')) AS raw
+         |  FROM t),
+         |m AS (SELECT doc_id, lower(raw) AS form FROM tok
+         |  WHERE lower(raw) IN ('ocean', 'sea', 'lake', 'mud', 'garden', 'pond')
+         |    AND $restrictedStopPredicate),
+         |r AS (SELECT doc_id % 50 AS conv, doc_id AS turn, envo FROM m JOIN fe USING (form)),
+         |occ AS (SELECT conv, envo, count(*) AS occ FROM r GROUP BY 1, 2),
+         |tot AS (SELECT conv, sum(occ) AS total FROM occ GROUP BY 1),
+         |sup AS (SELECT conv, envo, count(DISTINCT turn) AS n_turns,
+         |    array_to_string(list_slice(list_sort(list(DISTINCT turn)), 1, 20), ',') AS turns
+         |  FROM r GROUP BY 1, 2)
+         |SELECT CAST(occ.conv AS VARCHAR) AS subj, 'annotated_with' AS pred, en.curie AS obj,
+         |       CAST(occ.occ AS DOUBLE) / CAST(tot.total AS DOUBLE) AS weight,
+         |       sup.n_turns AS evidence, en.name, sup.turns
+         |FROM occ JOIN tot USING (conv) JOIN sup USING (conv, envo) JOIN en USING (envo)
+         |ORDER BY subj, obj""".stripMargin,
+    // o10's oracle is o6's recomputation verbatim: the Spark sides differ
+    // (o6 hand-wires the stages, o10 runs the composed KgPipeline.run()),
+    // the semantics must not — flat+proportional scoring ignores the
+    // tool/text_hash columns the pipeline additionally carries.
+    "o10_pipeline_restricted" ->
       s"""WITH fe(form, envo) AS (VALUES
          |$restrictedFormEnvoValues),
          |en(envo, curie, name) AS (VALUES

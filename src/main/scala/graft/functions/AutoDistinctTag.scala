@@ -61,7 +61,7 @@ object AutoDistinctTag extends Rule[LogicalPlan] {
           var current: LogicalPlan = child
           var newList = projectList
           tagCalls.foreach { tag =>
-            val (joined, taggedAttr) = rewriteOne(current, tag.child)
+            val (joined, taggedAttr) = rewriteOne(current, tag)
             current = joined
             newList = newList.map { ne =>
               ne.transform { case t: TagEnvoMentions if t == tag => taggedAttr }
@@ -74,12 +74,14 @@ object AutoDistinctTag extends Rule[LogicalPlan] {
   }
 
   /** Build distinct-texts Aggregate + tag Project + join-back over `base`;
-    * returns the joined plan and the tagged output attribute. */
-  private def rewriteOne(base: LogicalPlan, textExpr: Expression): (LogicalPlan, Attribute) = {
+    * returns the joined plan and the tagged output attribute. The rebuilt
+    * tag call carries the ORIGINAL call's injected dictionary (if any). */
+  private def rewriteOne(base: LogicalPlan, tag: TagEnvoMentions): (LogicalPlan, Attribute) = {
+    val textExpr = tag.child
     val distinctText = Alias(
       First(textExpr, ignoreNulls = false).toAggregateExpression(), MarkerName)()
     val agg = Aggregate(Seq(textExpr), Seq(distinctText), base)
-    val taggedAlias = Alias(TagEnvoMentions(distinctText.toAttribute), TaggedName)()
+    val taggedAlias = Alias(TagEnvoMentions(distinctText.toAttribute, tag.dict), TaggedName)()
     val tagged = Project(Seq(distinctText.toAttribute, taggedAlias), agg)
     val joinCond = EqualNullSafe(textExpr, distinctText.toAttribute)
     val joined = Join(base, tagged, Inner, Some(joinCond), JoinHint.NONE)

@@ -27,18 +27,41 @@ import org.apache.spark.unsafe.types.UTF8String
  * would demote the WHOLE stage (scan-side projection + the non-empty
  * mention filter) to interpreted Volcano iteration, taxing everything
  * fused around the tagger, not just the tagger itself.
+ *
+ * Dictionary injection: `dict = None` (the default, and the only shape the
+ * SQL-registered `tag_envo` produces) uses the JVM-global automaton built
+ * from the bundled resources; `dict = Some(broadcast)` tags with a caller-
+ * supplied automaton instead — the expression then serializes only the
+ * small broadcast HANDLE with the plan (the automaton itself travels once
+ * per executor via the broadcast, never per task), and codegen resolves
+ * `.value` once per generated-class instance, not per row.
  */
-case class TagEnvoMentions(child: Expression) extends UnaryExpression {
+case class TagEnvoMentions(child: Expression,
+    dict: Option[org.apache.spark.broadcast.Broadcast[graft.dict.AhoCorasick]] = None)
+  extends UnaryExpression {
 
   override def dataType: DataType = TagEnvoMentions.schema
   override def nullIntolerant: Boolean = true
 
+  @transient private lazy val resolvedAutomaton: graft.dict.AhoCorasick =
+    dict.map(_.value).getOrElse(TagEnvoMentions.automaton)
+
   override protected def nullSafeEval(input: Any): Any =
-    TagEnvoMentions.evalText(input.asInstanceOf[UTF8String])
+    TagEnvoMentions.evalWith(resolvedAutomaton, input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.TagEnvoMentions.evalText($c);")
+    dict match {
+      case None =>
+        nullSafeCodeGen(ctx, ev, c =>
+          s"${ev.value} = graft.functions.TagEnvoMentions.evalText($c);")
+      case Some(bc) =>
+        val bcRef = ctx.addReferenceObj("tagEnvoDictBc", bc,
+          "org.apache.spark.broadcast.Broadcast")
+        val acTerm = ctx.addMutableState("graft.dict.AhoCorasick", "tagEnvoAc",
+          v => s"$v = (graft.dict.AhoCorasick) $bcRef.value();")
+        nullSafeCodeGen(ctx, ev, c =>
+          s"${ev.value} = graft.functions.TagEnvoMentions.evalWith($acTerm, $c);")
+    }
 
   override protected def withNewChildInternal(newChild: Expression): TagEnvoMentions =
     copy(child = newChild)
@@ -53,7 +76,11 @@ object TagEnvoMentions {
 
   /** Shared interpreted/codegen evaluation body — called from generated
     * Java via the companion's static forwarder. */
-  def evalText(input: UTF8String): ArrayData = {
+  def evalText(input: UTF8String): ArrayData = evalWith(automaton, input)
+
+  /** The same body against an explicit automaton (injected-dictionary
+    * path — also a static forwarder for codegen). */
+  def evalWith(automaton: graft.dict.AhoCorasick, input: UTF8String): ArrayData = {
     val spans = automaton.tag(input.toString)
     val rows = new Array[Any](spans.length)
     var i = 0
@@ -89,6 +116,19 @@ object GraftFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "tag_envo", exprs => TagEnvoMentions(exprs.head), "built-in")
+
+  /** Column-API tagger with an INJECTED dictionary automaton: registers a
+    * per-broadcast function name (`tag_envo_b<id>` — broadcast ids are
+    * session-unique, so concurrent pipelines with different dictionaries
+    * never collide) whose factory closes over the broadcast handle. */
+  def tag_envo_with(spark: org.apache.spark.sql.SparkSession,
+                    dict: org.apache.spark.broadcast.Broadcast[graft.dict.AhoCorasick],
+                    c: Column): Column = {
+    val name = s"tag_envo_b${dict.id}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => TagEnvoMentions(exprs.head, Some(dict)), "built-in")
+    org.apache.spark.sql.functions.call_function(name, c)
+  }
 }
 
 /** SparkSessionExtensions installer:

@@ -36,17 +36,32 @@ object MentionDetect {
     *  - direct: tag every turn in place — ZERO shuffles, wins when texts
     *    are mostly unique (tagging at 29 MB/s/core is cheaper than
     *    shuffling the text bytes twice).
-    * At 100 TB pick per-corpus via `dedupeTexts`; both scale linearly. */
+    * At 100 TB pick per-corpus via `dedupeTexts`; both scale linearly.
+    *
+    * `dict`: an optional broadcast automaton to tag with INSTEAD of the
+    * JVM-global bundled dictionary — the injectable-dictionary path that
+    * lets the composed pipeline run under a caller-supplied vocabulary
+    * (tests, the restricted-dictionary driver gate, domain dictionaries). */
   def detect(spark: SparkSession, turns: DataFrame,
-             dedupeTexts: Boolean = true): DataFrame =
-    if (dedupeTexts) detectDistinct(spark, turns)
-    else detectDirect(spark, turns)
+             dedupeTexts: Boolean = true,
+             dict: Option[org.apache.spark.broadcast.Broadcast[graft.dict.AhoCorasick]] = None): DataFrame =
+    if (dedupeTexts) detectDistinct(spark, turns, dict)
+    else detectDirect(spark, turns, dict)
 
   // Both strategies evaluate the native TagEnvoMentions Catalyst expression
   // inside a plain projection — no Dataset Encoder round trip, and the
   // tagger composes with whatever else the projection computes.
 
-  private def detectDistinct(spark: SparkSession, turns: DataFrame): DataFrame = {
+  private def tagExpr(spark: SparkSession,
+      dict: Option[org.apache.spark.broadcast.Broadcast[graft.dict.AhoCorasick]],
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    dict match {
+      case Some(bc) => graft.functions.GraftFunctions.tag_envo_with(spark, bc, c)
+      case None => graft.functions.GraftFunctions.tag_envo(c)
+    }
+
+  private def detectDistinct(spark: SparkSession, turns: DataFrame,
+      dict: Option[org.apache.spark.broadcast.Broadcast[graft.dict.AhoCorasick]]): DataFrame = {
     val withHash = turns.withColumn("text_hash", xxhash64(col("text")))
     // Tag each DISTINCT text exactly once. The join-back keys on
     // (hash, text): the hash narrows comparisons, the text equality makes
@@ -56,7 +71,7 @@ object MentionDetect {
       .select(col("text_hash"), col("text"))
       .dropDuplicates("text_hash", "text")
       .select(col("text_hash"), col("text"),
-        graft.functions.GraftFunctions.tag_envo(col("text")).as("mentions"))
+        tagExpr(spark, dict, col("text")).as("mentions"))
       .filter(size(col("mentions")) > 0)
     withHash
       .join(tagged, Seq("text_hash", "text"))
@@ -65,11 +80,12 @@ object MentionDetect {
         col("text_hash"), col("mentions"))
   }
 
-  private def detectDirect(spark: SparkSession, turns: DataFrame): DataFrame =
+  private def detectDirect(spark: SparkSession, turns: DataFrame,
+      dict: Option[org.apache.spark.broadcast.Broadcast[graft.dict.AhoCorasick]]): DataFrame =
     turns
       .select(col("conv_id"), col("turn_idx"), col("tool"),
         xxhash64(col("text")).as("text_hash"),
-        graft.functions.GraftFunctions.tag_envo(col("text")).as("mentions"))
+        tagExpr(spark, dict, col("text")).as("mentions"))
       .filter(size(col("mentions")) > 0)
 
   /** Flatten to one row per mention (for the `mentions` triple sink and

@@ -148,6 +148,41 @@ class PipelineSpec extends SparkSpec {
     edgeCuries.foreach(c => assert(dot.contains(s""""$c" [label="""), s"no label for $c"))
   }
 
+  test("injected dictionary drives the COMPOSED run, both tagging strategies") {
+    val ts = new java.sql.Timestamp(0L)
+    val turns = Seq(
+      Turn("a", 0, "user", "the ocean was calm near the lake", None, ts),
+      Turn("a", 1, "user", "lake mud of the lake", None, ts),   // mud: full dict only
+      Turn("b", 0, "user", "the ocean was calm near the lake", None, ts), // dup text
+      Turn("b", 1, "user", "mud and bacterioplankton only", None, ts))
+    val full = KgPipeline.sharedDict
+    val tiny = full.copy(formToSerials =
+      full.formToSerials.filter(kv => Set("ocean", "lake").contains(kv._1)))
+
+    def objsOf(dedupe: Boolean): Map[(String, String), Double] =
+      new KgPipeline(spark, PipelineConfig(dedupeTexts = dedupe),
+          dictOverride = Some(tiny))
+        .run(turns.toDS.toDF).annotated
+        .select("subj", "obj", "weight").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+
+    val viaDistinct = objsOf(dedupe = true)
+    // the injected vocabulary bounds every emitted concept
+    val allowed = Set("ENVO:00000015", "ENVO:00000020") // ocean, lake
+    assert(viaDistinct.nonEmpty && viaDistinct.keySet.forall(k => allowed.contains(k._2)),
+      s"only injected-dictionary concepts may surface: $viaDistinct")
+    // conv b's only mud/bacterioplankton turn contributes nothing; conv a
+    // scores ocean 1/4 (one of 4 occurrences) and lake 3/4
+    assert(math.abs(viaDistinct(("a", "ENVO:00000020")) - 0.75) < 1e-12)
+    assert(math.abs(viaDistinct(("b", "ENVO:00000015")) - 0.5) < 1e-12)
+    // the direct (no-dedupe) strategy tags with the SAME injected automaton
+    assert(objsOf(dedupe = false) === viaDistinct)
+    // and the default pipeline on the same input still sees the full dict
+    val fullRun = new KgPipeline(spark).run(turns.toDS.toDF).annotated
+      .select("obj").collect().map(_.getString(0)).toSet
+    assert(fullRun.contains("ENVO:01000001"), "full dict must still tag mud")
+  }
+
   test("ontology triples: typed OBO edges + closure descends_from edges") {
     val r = new KgPipeline(spark).run(
       Seq(Turn("z", 0, "user", "lake", None, new java.sql.Timestamp(0L))).toDS.toDF)

@@ -144,4 +144,28 @@ class PlanShapeSpec extends SparkSpec {
         s"tag_envo must be fused into a codegen span:\n${detected.queryExecution.executedPlan}")
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
+
+  test("injected-dictionary tag_envo is also whole-stage-codegen'd") {
+    // the broadcast-handle path generates different code (mutable-state
+    // automaton resolved from the broadcast once per generated instance) —
+    // pin that it, too, compiles under fallback=false and fuses
+    val turns = graft.synth.TranscriptGen.generate(spark, 20).toDF
+    val bc = spark.sparkContext.broadcast(KgPipeline.sharedAutomaton)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val detected = graft.stages.MentionDetect.detect(
+        spark, turns, dedupeTexts = false, dict = Some(bc))
+      assert(detected.count() > 0)
+      val spans = detected.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+          if w.toString.contains("tag_envo") => w
+      }
+      assert(spans.nonEmpty,
+        s"injected tag_envo must fuse:\n${detected.queryExecution.executedPlan}")
+      // same automaton -> same mentions as the default path
+      val viaDefault = graft.stages.MentionDetect.detect(spark, turns, dedupeTexts = false)
+        .select("conv_id", "turn_idx").collect().map(_.toSeq).toSet
+      assert(detected.select("conv_id", "turn_idx").collect().map(_.toSeq).toSet === viaDefault)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
 }
