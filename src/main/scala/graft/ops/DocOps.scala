@@ -104,31 +104,31 @@ object DocOps {
     sig
   }
 
-  /** minhash signatures → (doc_id, bkey) LSH band rows (3 slots per band),
-    * shared with tools.ProfileD7 like `kmMinhashHashes`. */
-  private[graft] def minhashBandKeys(hashes: DataFrame, rowsPerBand: Int): DataFrame =
-    hashes.groupBy("doc_id", "i").agg(min("h").as("mh"))
-      .withColumn("band", floor(col("i") / rowsPerBand))
-      .withColumn("slot", col("i") % rowsPerBand)
-      .groupBy("doc_id", "band")
-      .agg(
-        min(when(col("slot") === 0, col("mh"))).as("m0"),
-        min(when(col("slot") === 1, col("mh"))).as("m1"),
-        min(when(col("slot") === 2, col("mh"))).as("m2"))
-      .select(col("doc_id"),
-        concat_ws("|", col("band"), col("m0"), col("m1"), col("m2")).as("bkey"))
-
-  /** The d7 hash expansion, shared with tools.ProfileD7 so the profiler can
-    * never drift from the production plan: k hashes per (doc_id, g) row via
-    * posexplode of an inline array — one narrow projection instead of a
-    * crossJoin with a range relation. */
-  private[graft] def kmMinhashHashes(grams: DataFrame, k: Int): DataFrame =
-    grams
+  /** (doc_id, g) shingle rows → (doc_id, bkey) LSH band rows in ONE shuffle
+    * — the d8 treatment applied to d7 (shared with tools.ProfileD7 so the
+    * profiler can never drift from the production plan). The k Kirsch-
+    * Mitzenmacher hashes h_i = (a + i*b) mod 2^60 (a = md5 hex 1-15,
+    * b = hex 17-30 — ONE md5 per shingle) are k COLUMNS of the gram
+    * projection, and the k signature mins are k aggs of a single
+    * groupBy(doc_id): partial aggregation collapses each map partition to
+    * one row per doc BEFORE the exchange, where the old posexplode shape
+    * shuffled 12× the shingle rows through groupBy(doc_id, i). Band keys
+    * are then a pure projection (explode of nBands concat_ws keys). Same
+    * h_i arithmetic, same key strings — the DuckDB oracle is unchanged. */
+  private[graft] def kmMinhashBands(grams: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+    val withAB = grams
       .withColumn("h0", md5(col("g")))
       .withColumn("a", expr("cast(conv(substring(h0, 1, 15), 16, 10) as bigint)"))
       .withColumn("b", expr("cast(conv(substring(h0, 17, 14), 16, 10) as bigint)"))
-      .select(col("doc_id"), posexplode(array((0 until k).map(i =>
-        expr(s"(a + $i * b) % ${1L << 60}")): _*)).as(Seq("i", "h")))
+    val mins = (0 until k).map(i =>
+      min(expr(s"(a + $i * b) % ${1L << 60}")).as(s"m$i"))
+    val nBands = k / rowsPerBand
+    withAB.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), explode(array((0 until nBands).map { band =>
+        concat_ws("|", lit(band) +:
+          (0 until rowsPerBand).map(s => col(s"m${band * rowsPerBand + s}")): _*)
+      }: _*)).as("bkey"))
+  }
 
   // ---------------------------------------------------------------- dedup
 
@@ -180,7 +180,7 @@ object DocOps {
     val k = 12
     val rowsPerBand = 3
     val grams = cappedShingles(spark, dir, dfCap, persist = false)
-    val bands = minhashBandKeys(kmMinhashHashes(grams, k), rowsPerBand)
+    val bands = kmMinhashBands(grams, k, rowsPerBand)
       // persisted: the band self-join below consumes bands TWICE — without
       // this the whole tokenize→md5→minhash pipeline executes once per
       // side (measured 2x the md5 work at sf0.1). Tiny: 4 rows per doc.

@@ -7,8 +7,8 @@ import graft.ops.DocOps
 /** Stage-by-stage timing of the d7 MinHash+LSH plan — run when d7's wall
   * time drifts, to see which stage moved. Every stage is built by the SAME
   * private[graft] DocOps builders the production operator composes
-  * (cappedShingles → kmMinhashHashes → minhashBandKeys), so the profiler
-  * cannot drift from the production plan. Usage:
+  * (cappedShingles → kmMinhashBands), so the profiler cannot drift from
+  * the production plan. Usage:
   *   sbt -batch "runMain graft.tools.ProfileD7 /root/testdata/sf0.1"
   */
 object ProfileD7 {
@@ -23,10 +23,8 @@ object ProfileD7 {
 
     val grams = DocOps.cappedShingles(spark, dir, dfCap = 50, persist = false)
     t("grams (tokenize+dfcap)") { grams.count() }
-    val hashes = DocOps.kmMinhashHashes(grams, 12)
-    t("hashes (1x md5 + KM)") { hashes.count() }
-    val bands = DocOps.minhashBandKeys(hashes, rowsPerBand = 3)
-    t("sig+bands") { bands.count() }
+    val bands = DocOps.kmMinhashBands(grams, 12, rowsPerBand = 3)
+    t("sig+bands (1 shuffle)") { bands.count() }
     val bandsP = bands.persist()
     val candidates = bandsP.toDF("doc_a", "bkey")
       .join(bandsP.toDF("doc_b", "bkey"), Seq("bkey"))
