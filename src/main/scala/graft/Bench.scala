@@ -145,17 +145,52 @@ object Bench {
     // query, which made a real 2x improvement look like a regression in
     // round 2's artifact. Clearing the cache keeps op-internal persists
     // from serving the second run — it re-executes the full plan, warm-JIT.
-    val results = headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        def once(): Double = {
-          val (_, sec) = time { try fn(spark, sfDir).count() catch { case _: Throwable => -1L } }
-          spark.sharedState.cacheManager.clearCache()
-          sec
+    //
+    // Contamination detection (round-3 artifact showed d7/d8 ~2x slow from
+    // a steal phase spanning BOTH runs — best-of-2 only defends against
+    // cold-start): the sweep is BRACKETED by the same raw CPU probe; if the
+    // host's measured speed disagrees before vs after, the whole sweep ran
+    // through a drifting-speed phase and its numbers are suspect. One
+    // retry, then publish per-query minima across all sweeps WITH an
+    // explicit headline_contaminated flag — a wrong-looking number is
+    // recoverable, a silently-wrong one is not. Per-run times are all
+    // published (queries_runs) so a reader can see the spread.
+    val probeThreads = math.min(cpus, 8)
+    def headlineSweep(): (Seq[(String, Seq[Double])], Double, Double) = {
+      val before = rawCpuProbe(probeThreads, probeTexts)
+      val rs = headline.flatMap { name =>
+        SparkEntry.queries.get(name).map { fn =>
+          def once(): Double = {
+            val (_, sec) = time { try fn(spark, sfDir).count() catch { case _: Throwable => -1L } }
+            spark.sharedState.cacheManager.clearCache()
+            sec
+          }
+          name -> Seq(once(), once())
         }
-        val warm = math.min(once(), once())
-        name -> warm
       }
+      val after = rawCpuProbe(probeThreads, probeTexts)
+      (rs, before, after)
     }
+    def probesAgree(b: Double, a: Double): Boolean =
+      math.min(b, a) / math.max(b, a) >= 0.88
+    val sweep1 = headlineSweep()
+    val sweeps =
+      if (probesAgree(sweep1._2, sweep1._3)) Seq(sweep1)
+      else {
+        System.err.println(f"[bench] headline sweep 1 contaminated (probe " +
+          f"${sweep1._2}%.0f -> ${sweep1._3}%.0f texts/s) — retrying once")
+        Seq(sweep1, headlineSweep())
+      }
+    val headlineContaminated = !probesAgree(sweeps.last._2, sweeps.last._3)
+    if (headlineContaminated)
+      System.err.println("[bench] headline sweep still contaminated after retry — flagged in JSON")
+    // per-query runs across all sweeps (2 or 4 entries); headline = min
+    val runsByQuery: Seq[(String, Seq[Double])] = headline.flatMap { name =>
+      val all = sweeps.flatMap(_._1.collect { case (`name`, rs) => rs }.flatten)
+      if (all.isEmpty) None else Some(name -> all)
+    }
+    val results = runsByQuery.map { case (n, rs) => n -> rs.min }
+    val (probeBefore, probeAfter) = (sweeps.last._2, sweeps.last._3)
 
     // ---- part 2: KG pipeline scaling (generate once, untimed) ----
     val benchDir = Files.createTempDirectory("graft-bench-turns").toString
@@ -233,6 +268,9 @@ object Bench {
     val cpuCeiling = spanCeiling(lowCpus, highCpus, probeTexts)
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val qruns = runsByQuery.map { case (k, rs) =>
+      "\"" + k + "\":" + rs.map(r => f"$r%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + pairs.map(p => p._3 + p._4).sum
     val pairsJson = pairs.map(p => f"[${p._3}%.2f,${p._4}%.2f]").mkString("[", ",", "]")
     val kg = f"""{"turns":$nTurns,"triples":$nTriples,"cores_n":$lowCpus,"cores_4n":$highCpus,""" +
@@ -241,6 +279,8 @@ object Bench {
       f""""pairs_sec":$pairsJson,""" +
       f""""cpu_ceiling_same_span":$cpuCeiling%.3f,""" +
       f""""efficiency_vs_ceiling":${math.min(1.0, efficiency / cpuCeiling)}%.3f}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"kg":$kg,"sf":"$sfDir"}""")
+    val headlineMeta = f""""queries_runs":$qruns,"headline_probe_before":$probeBefore%.0f,""" +
+      f""""headline_probe_after":$probeAfter%.0f,"headline_contaminated":$headlineContaminated"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$headlineMeta,"kg":$kg,"sf":"$sfDir"}""")
   }
 }
