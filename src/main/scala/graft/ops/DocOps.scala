@@ -27,11 +27,24 @@ object DocOps {
     expr("transform(sequence(1, greatest(size(toks) - 2, 0)), " +
       "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))"))
 
-  private def withShingles(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .withColumn("toks", toks)
-      .filter(size(col("toks")) >= 3)
+  /** The corpus with its token array attached — ONE tokenization pass.
+    * The curation funnel (tools.CurateCli) persists this and derives every
+    * stage from it (exact dedup, shingle ops, gates, chunking), so the
+    * whole funnel reads and tokenizes documents.parquet exactly once; at
+    * 100 TB the cached/spilled columnar frame replaces three full
+    * scan+tokenize passes. Standalone driver queries keep reading the scan
+    * directly (straight-line codegen beats the cache boundary when nothing
+    * is shared — measured on d7's md5 branch). */
+  def curationFrame(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).withColumn("toks", toks)
+
+  /** Distinct word-3-gram shingle rows of a frame carrying (doc_id, toks). */
+  private[graft] def shinglesOf(df: DataFrame): DataFrame =
+    df.filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(shingles).as("g"))
+
+  private def withShingles(spark: SparkSession, dir: String): DataFrame =
+    shinglesOf(curationFrame(spark, dir))
 
   /** Shingles with a document-frequency cap: a shingle occurring in f docs
     * makes f² rows in a shingle-equality self-join, so one boilerplate
@@ -41,11 +54,14 @@ object DocOps {
     * oracles). The stop set is tiny by Zipf construction, so the anti-join
     * broadcasts; the dropped count is printed, never silent. */
   private[graft] def cappedShingles(spark: SparkSession, dir: String, dfCap: Int,
-                                    persist: Boolean): DataFrame = {
+                                    persist: Boolean): DataFrame =
+    cappedShinglesOf(withShingles(spark, dir), dfCap, persist)
+
+  private[graft] def cappedShinglesOf(grams0: DataFrame, dfCap: Int,
+                                      persist: Boolean): DataFrame = {
     // persist the PRE-cap shingles: both the stop-agg and the anti-join
     // consume them, so one tokenization pass instead of two — and d6's
     // downstream branches read the same cache
-    val grams0 = withShingles(spark, dir)
     val grams = if (persist)
       grams0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else grams0
@@ -136,7 +152,12 @@ object DocOps {
     * the same keep-min-rowid semantics the reference uses for its GI table
     * (add_tagger_results.py:145-147), by md5 so the oracle matches bit-wise. */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    exactDedupOf(docs(spark, dir))
+
+  /** d1 over any frame carrying (doc_id, text) — the funnel feeds the
+    * shared curation frame here. */
+  private[graft] def exactDedupOf(df: DataFrame): DataFrame =
+    df
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("content_hash")
@@ -176,10 +197,17 @@ object DocOps {
     * verified with true Jaccard. md5 keeps the DuckDB oracle bit-identical;
     * the production scale path would swap in xxhash64 (same plan, one line). */
   def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = 0.18,
-                      dfCap: Int = 50): DataFrame = {
+                      dfCap: Int = 50): DataFrame =
+    minhashLshPairsOf(shinglesOf(curationFrame(spark, dir)), threshold, dfCap)
+
+  /** d7 over any (doc_id, toks)-derived shingle frame — the funnel feeds
+    * shingles of the shared (persisted) curation frame, so its tokenization
+    * is the cached one instead of a fresh corpus scan. */
+  private[graft] def minhashLshPairsOf(grams0: DataFrame, threshold: Double = 0.18,
+                                       dfCap: Int = 50): DataFrame = {
     val k = 12
     val rowsPerBand = 3
-    val grams = cappedShingles(spark, dir, dfCap, persist = false)
+    val grams = cappedShinglesOf(grams0, dfCap, persist = false)
     val bands = kmMinhashBands(grams, k, rowsPerBand)
       // persisted: the band self-join below consumes bands TWICE — without
       // this the whole tokenize→md5→minhash pipeline executes once per
@@ -274,7 +302,11 @@ object DocOps {
     * projection + explode: no shuffle, scales linearly. Tail chunks may be
     * shorter; every token appears in ≥1 chunk. */
   def chunkDocs(spark: SparkSession, dir: String, chunkTokens: Int = 50,
-                overlap: Int = 10): DataFrame = {
+                overlap: Int = 10): DataFrame =
+    chunkDocsOf(curationFrame(spark, dir), chunkTokens, overlap)
+
+  private[graft] def chunkDocsOf(df: DataFrame, chunkTokens: Int,
+                                 overlap: Int): DataFrame = {
     require(overlap < chunkTokens, "overlap must be smaller than the chunk")
     val stride = chunkTokens - overlap
     // window starts stop at size-overlap: a start inside the final overlap
@@ -282,8 +314,7 @@ object DocOps {
     // (~overlap/stride of all docs at defaults) — duplicate training data
     // from the op meant to prevent it. Every chunk thus carries ≥1 new
     // token, and the last chunk still reaches the final token.
-    docs(spark, dir)
-      .withColumn("toks", toks)
+    df
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, greatest(size(toks) - $overlap, 1), $stride), " +
@@ -329,8 +360,11 @@ object DocOps {
     * the corpus side streams through one codegen'd stage, never all-pairs
     * and never shuffled on the shingle. */
   def decontaminate(spark: SparkSession, dir: String, benchmarkN: Long = 20,
-                    minShared: Int = 3): DataFrame = {
-    val grams = withShingles(spark, dir)
+                    minShared: Int = 3): DataFrame =
+    decontaminateOf(withShingles(spark, dir), benchmarkN, minShared)
+
+  private[graft] def decontaminateOf(grams: DataFrame, benchmarkN: Long,
+                                     minShared: Int): DataFrame = {
     val benchGrams = grams.filter(col("doc_id") < benchmarkN).select("g").distinct()
     grams.filter(col("doc_id") >= benchmarkN)
       .join(broadcast(benchGrams), Seq("g"), "left_semi")
@@ -513,7 +547,10 @@ object DocOps {
     * filter it per gate (quality NULL for empty-token docs — fails any
     * threshold, matching qualityScore's size>0 pre-filter). */
   def gateSignals(spark: SparkSession, dir: String): DataFrame =
-    withLangScores(withQuality(docs(spark, dir).withColumn("toks", toks)))
+    gateSignalsOf(curationFrame(spark, dir))
+
+  private[graft] def gateSignalsOf(df: DataFrame): DataFrame =
+    withLangScores(withQuality(df))
       .withColumn("bucket", sampleBucket)
       .select("doc_id", "lang", "n_tokens", "quality", "pred_lang", "bucket")
 

@@ -24,10 +24,16 @@ import graft.ops.{Components, DocOps}
  * and writes the surviving chunks + the funnel table to out_dir. Every
  * stage is deterministic, so reruns produce identical funnels.
  *
- * The three projection gates (quality / language / sample) share ONE
- * persisted signal frame computed in a single pass over the corpus
- * (DocOps.gateSignals) — three independent gate queries would scan the
- * documents three times; the id-set semi-join composition is unchanged.
+ * Single-read: the WHOLE funnel derives from ONE persisted tokenized
+ * corpus frame (DocOps.curationFrame — doc_id, text, lang, toks). Exact
+ * dedup hashes its text, d7/d13 shingle off its toks, the three projection
+ * gates filter one signal projection of it, and chunking windows its toks
+ * — documents.parquet is scanned (and the corpus tokenized) exactly once
+ * per funnel run where the naive composition paid three scan+tokenize
+ * passes (CurateSpec pins the leaf-scan count). The three gates
+ * additionally share one persisted signal frame (DocOps.gateSignalsOf) so
+ * the quality/lang/sample filters are three reads of tiny scalars, not
+ * three token-array passes.
  *
  *   sbt -batch "runMain graft.tools.CurateCli --docs_dir /root/testdata/sf0.001 \
  *     --out_dir /tmp/curated [--min_quality 0.5] [--sample_en 0.25] \
@@ -46,7 +52,10 @@ object CurateCli {
     * chunks + funnel to outDir. */
   def run(spark: SparkSession, dir: String, outDir: String,
           cfg: CurateConfig = CurateConfig()): Seq[(String, Long)] = {
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // THE one corpus read: every stage below derives from this persisted
+    // tokenized frame — nothing else touches documents.parquet
+    val corpus = DocOps.curationFrame(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val funnel = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     def stage(name: String, kept: DataFrame): DataFrame = {
       val k = kept.persist()
@@ -54,16 +63,18 @@ object CurateCli {
       k
     }
 
-    val all = stage("input", docs.select("doc_id"))
+    val all = stage("input", corpus.select("doc_id"))
 
     // d1: one survivor per exact content hash
     val exact = stage("exact_dedup",
-      all.join(DocOps.exactDedup(spark, dir)
+      all.join(DocOps.exactDedupOf(corpus)
         .select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi"))
 
-    // d7 → d9: drop every near-dup cluster member except its representative
+    // d7 → d9: drop every near-dup cluster member except its representative.
+    // The shingle rows both d7 and d13 consume come off the shared frame's
+    // cached toks (a projection, not a scan).
     val nearDupLosers = Components
-      .dupClusters(spark, DocOps.minhashLshPairs(spark, dir))
+      .dupClusters(spark, DocOps.minhashLshPairsOf(DocOps.shinglesOf(corpus)))
       .filter(col("doc_id") =!= col("representative"))
       .select("doc_id")
     val nearDeduped = stage("near_dedup",
@@ -71,14 +82,15 @@ object CurateCli {
 
     // d13: drop docs overlapping the benchmark (and the benchmark itself —
     // eval data never belongs in the training corpus)
-    val contaminated = DocOps.decontaminate(spark, dir, cfg.benchmarkN).select("doc_id")
+    val contaminated = DocOps.decontaminateOf(DocOps.shinglesOf(corpus),
+      cfg.benchmarkN, minShared = 3).select("doc_id")
     val decontaminated = stage("decontaminate",
       nearDeduped
         .filter(col("doc_id") >= cfg.benchmarkN)
         .join(contaminated, Seq("doc_id"), "left_anti"))
 
     // d3 + d4 + d12 gates off ONE persisted single-pass signal projection
-    val signals = DocOps.gateSignals(spark, dir)
+    val signals = DocOps.gateSignalsOf(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gated1 = stage("quality_gate",
       decontaminated.join(
@@ -95,10 +107,11 @@ object CurateCli {
     signals.unpersist()
 
     // d11: chunk the survivors
-    val chunks = DocOps.chunkDocs(spark, dir, cfg.chunkTokens, cfg.overlap)
+    val chunks = DocOps.chunkDocsOf(corpus, cfg.chunkTokens, cfg.overlap)
       .join(sampled, Seq("doc_id"), "left_semi")
     chunks.write.mode("overwrite").parquet(s"$outDir/chunks")
     funnel += "chunks" -> spark.read.parquet(s"$outDir/chunks").count()
+    corpus.unpersist()
 
     import spark.implicits._
     funnel.toSeq.zipWithIndex

@@ -66,6 +66,47 @@ class CurateSpec extends SparkSpec {
     } finally signals.unpersist()
   }
 
+  test("funnel stages all read the ONE persisted corpus frame, never the parquet") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.DocOps
+    // the exact composition CurateCli.run uses: one persisted tokenized
+    // corpus, every stage derived from it — a FileSourceScan leaf in any
+    // stage plan would mean that stage re-scans (and re-tokenizes) the
+    // corpus behind the shared frame's back
+    val corpus = DocOps.curationFrame(spark, dir).persist()
+    try {
+      corpus.count() // materialize the one corpus read
+      val stagePlans = Map(
+        "exact_dedup" -> DocOps.exactDedupOf(corpus),
+        "near_dup_pairs" -> DocOps.minhashLshPairsOf(DocOps.shinglesOf(corpus)),
+        "decontaminate" -> DocOps.decontaminateOf(DocOps.shinglesOf(corpus), 20, 3),
+        "gate_signals" -> DocOps.gateSignalsOf(corpus),
+        "chunks" -> DocOps.chunkDocsOf(corpus, 50, 10))
+      // AdaptiveSparkPlanExec is itself a LeafExecNode — descend into its
+      // current plan or the leaf check never sees the real scans
+      def realLeaves(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          realLeaves(a.executedPlan)
+        case l if l.children.isEmpty => Seq(l)
+        case n => n.children.flatMap(realLeaves)
+      }
+      stagePlans.foreach { case (name, df) =>
+        val leaves = realLeaves(df.queryExecution.executedPlan)
+        val fileScans = leaves.filterNot(
+          _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
+        assert(leaves.nonEmpty && fileScans.isEmpty,
+          s"stage $name must read the cached corpus, found non-cache leaves: $fileScans")
+      }
+      // the shared-frame stages return the SAME rows as the standalone
+      // (scan-direct, DuckDB-oracled) operators
+      assert(DocOps.minhashLshPairsOf(DocOps.shinglesOf(corpus)).collect().toSeq ===
+        DocOps.minhashLshPairs(spark, dir).collect().toSeq)
+      assert(DocOps.chunkDocsOf(corpus, 50, 10).collect().length ===
+        DocOps.chunkDocs(spark, dir).collect().length)
+    } finally corpus.unpersist()
+  }
+
   test("gate signals survive zero-token docs (ANSI divide-by-zero guard)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
