@@ -186,6 +186,19 @@ object SparkEntry {
       graft.stages.Abundance.projectToSamples(scores, abundance)
         .orderBy("envo", "sample")
     }),
+    // A11 pivot+fillna under the gate: restricted flat NON-proportional
+    // scores (integer-valued doubles — exact) pivoted to the wide
+    // concept×conv matrix over the o4-style 50-conv reshaping. The 50
+    // columns are pinned explicitly (schema-stable even for mention-less
+    // convs, and no distinct-values discovery job); the oracle is 50
+    // conditional aggregations with COALESCE 0 mirroring na.fill.
+    "o11_pivot_restricted" -> ((s, d) => {
+      val rows = reshapeToConvs(restrictedEnvoRows(s, d))
+      val scores = graft.stages.LinkScore.score(s, rows, restrictedDict,
+        graft.stages.ScoreConfig(normalization = "flat", proportional = false))
+      graft.stages.Abundance.pivotMatrix(scores,
+        colValues = (0 until 50).map(_.toString))
+    }),
     // O10 — the COMPOSED pipeline under the gate: not a hand-wired stage
     // chain but the production `KgPipeline(...).run(...)` itself (distinct-
     // text tagging + join-back, envoRows sharing across branches,
@@ -953,6 +966,28 @@ object SparkEntry {
          |       sup.n_turns AS evidence, en.name, sup.turns
          |FROM occ JOIN tot USING (conv) JOIN sup USING (conv, envo) JOIN en USING (envo)
          |ORDER BY subj, obj""".stripMargin,
+    "o11_pivot_restricted" ->
+      s"""WITH fe(form, envo) AS (VALUES
+         |$restrictedFormEnvoValues),
+         |t AS (SELECT doc_id, text ||
+         |  CASE doc_id % 5 WHEN 0 THEN ' the ocean meets the sea near the ocean'
+         |                  WHEN 1 THEN ' mud by the lake and garden mud'
+         |                  WHEN 2 THEN ' OCEAN stays blocked but pond counts'
+         |                  ELSE '' END AS t2
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(t2, '[^A-Za-z0-9]+'), x -> x <> '')) AS raw
+         |  FROM t),
+         |m AS (SELECT doc_id, lower(raw) AS form FROM tok
+         |  WHERE lower(raw) IN ('ocean', 'sea', 'lake', 'mud', 'garden', 'pond')
+         |    AND $restrictedStopPredicate),
+         |r AS (SELECT doc_id % 50 AS conv, envo FROM m JOIN fe USING (form)),
+         |occ AS (SELECT conv, envo, CAST(count(*) AS DOUBLE) AS score FROM r GROUP BY 1, 2)
+         |SELECT envo,
+         |${(0 until 50).map(c =>
+             s"""  COALESCE(sum(CASE WHEN conv = $c THEN score END), 0.0) AS "$c"""")
+             .mkString(",\n")}
+         |FROM occ GROUP BY envo ORDER BY envo""".stripMargin,
     // o10's oracle is o6's recomputation verbatim: the Spark sides differ
     // (o6 hand-wires the stages, o10 runs the composed KgPipeline.run()),
     // the semantics must not — flat+proportional scoring ignores the
@@ -1186,12 +1221,39 @@ object SparkEntry {
          |WHERE cosine >= 0.38 ORDER BY vec_a, vec_b""".stripMargin,
     "e4_ivf_topk" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |c AS (SELECT vec_id AS cell,
+        |seeds AS (SELECT vec_id AS cell,
         |  [CAST(embedding[i] AS DOUBLE) /
         |   sqrt(list_aggregate([CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)
         |                        for j in range(1, len(embedding) + 1)], 'sum'))
         |   for i in range(1, len(embedding) + 1)] AS cv
         |  FROM e WHERE vec_id < 16),
+        |ssc AS (SELECT e.vec_id, s.cell,
+        |  list_aggregate([CAST(e.embedding[i] AS DOUBLE) * s.cv[i]
+        |                  for i in range(1, len(e.embedding) + 1)], 'sum') AS s
+        |  FROM e, seeds s),
+        |assign0 AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY s DESC, cell DESC) AS rn FROM ssc) WHERE rn = 1),
+        |sx AS (SELECT a.cell, e.embedding,
+        |    unnest(generate_series(1, len(e.embedding))) AS dim
+        |  FROM assign0 a JOIN e USING (vec_id)),
+        |sums AS (SELECT cell, dim,
+        |    sum(CAST(round(CAST(embedding[dim] AS DOUBLE) * 1073741824.0) AS BIGINT)) AS fx,
+        |    count(*) AS n
+        |  FROM sx GROUP BY 1, 2),
+        |means AS (SELECT cell,
+        |    list(CAST(fx AS DOUBLE) / (CAST(n AS DOUBLE) * 1073741824.0) ORDER BY dim) AS mv
+        |  FROM sums GROUP BY cell),
+        |refined AS (SELECT cell,
+        |  CASE WHEN sqrt(list_aggregate([mv[j] * mv[j]
+        |                                 for j in range(1, len(mv) + 1)], 'sum')) > 0
+        |    THEN [mv[i] / sqrt(list_aggregate([mv[j] * mv[j]
+        |                                       for j in range(1, len(mv) + 1)], 'sum'))
+        |          for i in range(1, len(mv) + 1)]
+        |    ELSE NULL END AS cv
+        |  FROM means),
+        |c AS (SELECT s.cell, COALESCE(r.cv, s.cv) AS cv
+        |  FROM seeds s LEFT JOIN refined r USING (cell)),
         |sc AS (SELECT e.vec_id, c.cell,
         |  list_aggregate([CAST(e.embedding[i] AS DOUBLE) * c.cv[i]
         |                  for i in range(1, len(e.embedding) + 1)], 'sum') AS s

@@ -115,23 +115,40 @@ object EmbedOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Fixed-point scale for the Lloyd accumulation: 2^30. Components are
+    * float32 (|x| bounded small), so x·2^30 fits exactly in a double and
+    * the rounded BIGINT terms sum EXACTLY — integer sums are reduce-order-
+    * invariant where a double sum drifts in the last ulp per partitioning.
+    * That makes the refined centroids bit-reproducible on any cluster size
+    * AND recomputable by the DuckDB oracle (both engines round ties away
+    * from zero; the product by a power of two is exact on both). */
+  private val LloydScale = 1073741824.0 // 2^30
+
   /** IVF (inverted-file) approximate NN — the other scale path: assign
     * every vector to its nearest of `nlist` coarse centroids (one broadcast
     * pass, no shuffle of the big side), then search a query only inside its
-    * `nprobe` nearest cells. Centroids here are a deterministic sample
-    * (vec_id < nlist) — production would k-means them; the plan shape
-    * (broadcast assign → cell-key equi-join → windowed top-k) is identical
-    * and is what matters at 100 TB. */
+    * `nprobe` nearest cells.
+    *
+    * Centroids: a deterministic sample (vec_id < nlist) seeds ONE
+    * distributed Lloyd (k-means) refinement — every vector is assigned to
+    * its nearest seed by the same literal-dot argmax projection, per-cell
+    * component sums are accumulated as scaled BIGINTs (see [[LloydScale]]:
+    * exact, order-invariant, map-side combined; one groupBy over nlist
+    * keys, never a per-dimension explode), and the nlist mean vectors come
+    * back to the driver as model state (nlist rows — the same driver-sized
+    * collect the seed sample already pays). Cells that attract no vectors
+    * keep their seed. The plan shape (broadcast assign → cell-key equi-join
+    * → windowed top-k) is unchanged and is what matters at 100 TB; more
+    * Lloyd rounds would repeat the same one-agg step. */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 3,
               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val e = emb(spark, dir)
     // The coarse quantizer is model state, driver-sized by definition
-    // (nlist vectors — production k-means would hand us the same array);
-    // baking it into the projection as literals makes cell assignment a
-    // shuffle-free, codegen'd map over the big side instead of the old
-    // crossJoin(broadcast)×nlist + groupBy/max_by (which shuffled every
-    // embedding once).
-    val cents: Array[(Int, Array[Double])] = e.filter(col("vec_id") < nlist)
+    // (nlist vectors); baking it into the projection as literals makes cell
+    // assignment a shuffle-free, codegen'd map over the big side instead of
+    // the old crossJoin(broadcast)×nlist + groupBy/max_by (which shuffled
+    // every embedding once).
+    val seeds: Array[(Int, Array[Double])] = e.filter(col("vec_id") < nlist)
       .select(col("vec_id"), col("embedding")).collect()
       .map { r =>
         val v = r.getSeq[Float](1).map(_.toDouble).toArray
@@ -142,6 +159,33 @@ object EmbedOps {
         // per element and x/n vs x*(1/n) differ in the last ulp.
         (r.getLong(0).toInt, if (n > 0) v.map(_ / n) else v)
       }.sortBy(_._1)
+    val dim0 = seeds.head._2.length
+
+    // one Lloyd step: argmax over the SEED literals, then nlist×dim exact
+    // fixed-point sums in a single groupBy(cell)
+    val seedScores = array(seeds.map { case (cid, cv) =>
+      struct(litDot(col("embedding"), cv).as("s"), lit(cid).as("cell"))
+    }: _*)
+    val sumCols = (0 until dim0).map(i => sum(expr(
+      s"cast(round(cast(element_at(embedding, ${i + 1}) as double) * $LloydScale) as bigint)"
+    )).as(s"s$i"))
+    val cellRows = e
+      .select(col("embedding"), array_max(seedScores).getField("cell").as("cell"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sumCols: _*)
+      .collect()
+      .map(r => r.getInt(0) -> r).toMap
+    val cents: Array[(Int, Array[Double])] = seeds.map { case (cid, seedCv) =>
+      cellRows.get(cid) match {
+        case Some(r) =>
+          val n = r.getLong(1).toDouble
+          // mean then normalize, every double op mirrored 1:1 in the oracle
+          val m = Array.tabulate(dim0)(i => r.getLong(2 + i).toDouble / (n * LloydScale))
+          val nrm = math.sqrt(m.map(x => x * x).sum)
+          (cid, if (nrm > 0) m.map(_ / nrm) else seedCv)
+        case None => (cid, seedCv) // empty cell keeps its seed
+      }
+    }
 
     // score per cell = dot(emb, cent/||cent||): same cell ORDER as cosine
     // (the row's own norm is a positive common factor — never computed)

@@ -60,10 +60,19 @@ object Abundance {
   /** A11 — long scores → wide concept×conv matrix with missing = 0
     * (outputs.py:53-65). Sink-side only: the pivot materializes one column
     * per conv, so callers must bound the conv set (the reference's own
-    * matrix output has the same shape constraint). */
+    * matrix output has the same shape constraint). Pass `colValues` when
+    * the column set is known: it pins the output schema (a column for
+    * every expected conv even if unseen in the data) AND skips the extra
+    * distinct-values job Spark otherwise runs to discover them. */
   def pivotMatrix(scores: DataFrame, rowKey: String = "envo",
-                  colKey: String = "conv_id", value: String = "score"): DataFrame =
-    scores.groupBy(rowKey).pivot(colKey).agg(first(value)).na.fill(0.0).orderBy(rowKey)
+                  colKey: String = "conv_id", value: String = "score",
+                  colValues: Seq[String] = Nil): DataFrame = {
+    val grouped = scores.groupBy(rowKey)
+    val pivoted =
+      if (colValues.nonEmpty) grouped.pivot(colKey, colValues)
+      else grouped.pivot(colKey)
+    pivoted.agg(first(value)).na.fill(0.0).orderBy(rowKey)
+  }
 
   /** S7 — TSV matrix sink (single file, tab-separated, header). */
   def writeTsv(df: DataFrame, path: String): Unit =
