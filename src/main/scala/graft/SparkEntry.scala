@@ -210,24 +210,22 @@ object SparkEntry {
     // o6's recomputation — what o10 adds under the hash is the run()
     // wiring that composes the stages.
     "o10_pipeline_restricted" -> ((s, d) => {
-      val turns = s.read.parquet(s"$d/documents.parquet")
-        .select(
-          (col("doc_id") % 50).cast("string").as("conv_id"),
-          col("doc_id").cast("int").as("turn_idx"),
-          lit("user").as("role"),
-          taggerInjection.as("text"),
-          when(col("doc_id") % 3 === 0, lit(null).cast("string"))
-            .otherwise(concat(lit("t"), (col("doc_id") % 3).cast("string"))).as("tool"),
-          lit(java.sql.Timestamp.valueOf("2025-01-01 00:00:00")).as("ts"))
-      new KgPipeline(s,
-          PipelineConfig(
-            score = graft.stages.ScoreConfig(normalization = "flat", proportional = true),
-            persistIntermediates = true),
-          dictOverride = Some(restrictedDict))
-        .run(turns).annotated
+      restrictedPipeline(s, d).annotated
         .select(col("subj"), col("pred"), col("obj"), col("weight"), col("evidence"),
           col("name"), concat_ws(",", col("turn_sample")).as("turns"))
         .orderBy("subj", "obj")
+    }),
+    // O12 — the composed run()'s SINGLE-ACTION sink shape under the gate:
+    // `allTriples` unions all three dynamic triple families (annotated_with
+    // + mentions + cooccurs_with) off the shared envoRows/scores branches —
+    // the exact frame a production job writes. The oracle recomputes all
+    // three families and unions them; full-column ORDER BY pins the
+    // interleaving (duplicate mention rows are identical, so ties are
+    // order-free). Every weight is exact: proportional division (o6-proven),
+    // literal 1.0, integer conv counts.
+    "o12_pipeline_all_triples" -> ((s, d) => {
+      restrictedPipeline(s, d).allTriples
+        .orderBy("subj", "pred", "obj", "weight", "evidence")
     }),
     // --- similarity search (embeddings) ---
     "e1_cosine_topk" -> ((s, d) => EmbedOps.cosineTopK(s, d)),
@@ -381,6 +379,28 @@ object SparkEntry {
         .otherwise(concat(lit("t"), (col("doc_id") % 3).cast("string"))))
     else withTh
     withT.drop("doc_id")
+  }
+
+  /** o10/o12 shared: documents reshaped into o4-style Turn rows (conv =
+    * doc_id % 50, turn = doc_id, o1 text injection, o4 tool pattern) fed
+    * through the COMPOSED production pipeline with the restricted
+    * dictionary injected. */
+  private def restrictedPipeline(s: SparkSession, d: String): KgResult = {
+    val turns = s.read.parquet(s"$d/documents.parquet")
+      .select(
+        (col("doc_id") % 50).cast("string").as("conv_id"),
+        col("doc_id").cast("int").as("turn_idx"),
+        lit("user").as("role"),
+        taggerInjection.as("text"),
+        when(col("doc_id") % 3 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("t"), (col("doc_id") % 3).cast("string"))).as("tool"),
+        lit(java.sql.Timestamp.valueOf("2025-01-01 00:00:00")).as("ts"))
+    new KgPipeline(s,
+        PipelineConfig(
+          score = graft.stages.ScoreConfig(normalization = "flat", proportional = true),
+          persistIntermediates = true),
+        dictOverride = Some(restrictedDict))
+      .run(turns)
   }
 
   /** The o2/o3 shared stage: REAL restricted tagger over injected documents
@@ -1020,6 +1040,44 @@ object SparkEntry {
          |       sup.n_turns AS evidence, en.name, sup.turns
          |FROM occ JOIN tot USING (conv) JOIN sup USING (conv, envo) JOIN en USING (envo)
          |ORDER BY subj, obj""".stripMargin,
+    "o12_pipeline_all_triples" ->
+      s"""WITH fe(form, envo) AS (VALUES
+         |$restrictedFormEnvoValues),
+         |ec(envo, curie) AS (VALUES
+         |$restrictedEnvoCurieValues),
+         |t AS (SELECT doc_id, text ||
+         |  CASE doc_id % 5 WHEN 0 THEN ' the ocean meets the sea near the ocean'
+         |                  WHEN 1 THEN ' mud by the lake and garden mud'
+         |                  WHEN 2 THEN ' OCEAN stays blocked but pond counts'
+         |                  ELSE '' END AS t2
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(t2, '[^A-Za-z0-9]+'), x -> x <> '')) AS raw
+         |  FROM t),
+         |m AS (SELECT doc_id, lower(raw) AS form FROM tok
+         |  WHERE lower(raw) IN ('ocean', 'sea', 'lake', 'mud', 'garden', 'pond')
+         |    AND $restrictedStopPredicate),
+         |r AS (SELECT doc_id % 50 AS conv, doc_id AS turn, envo FROM m JOIN fe USING (form)),
+         |occ AS (SELECT conv, envo, count(*) AS occ FROM r GROUP BY 1, 2),
+         |tot AS (SELECT conv, sum(occ) AS total FROM occ GROUP BY 1),
+         |sup AS (SELECT conv, envo, count(DISTINCT turn) AS n_turns FROM r GROUP BY 1, 2),
+         |ann AS (SELECT CAST(occ.conv AS VARCHAR) AS subj, 'annotated_with' AS pred,
+         |    ec.curie AS obj, CAST(occ.occ AS DOUBLE) / CAST(tot.total AS DOUBLE) AS weight,
+         |    CAST(sup.n_turns AS BIGINT) AS evidence
+         |  FROM occ JOIN tot USING (conv) JOIN sup USING (conv, envo) JOIN ec USING (envo)),
+         |men AS (SELECT CAST(conv AS VARCHAR) || ':' || CAST(turn AS VARCHAR) AS subj,
+         |    'mentions' AS pred, ec.curie AS obj, CAST(1.0 AS DOUBLE) AS weight,
+         |    CAST(1 AS BIGINT) AS evidence
+         |  FROM r JOIN ec USING (envo)),
+         |dp AS (SELECT DISTINCT conv, envo FROM r),
+         |cp AS (SELECT a.envo AS ea, b.envo AS eb, count(*) AS n
+         |  FROM dp a JOIN dp b ON a.conv = b.conv AND a.envo < b.envo GROUP BY 1, 2),
+         |cc AS (SELECT ca.curie AS subj, 'cooccurs_with' AS pred, cb.curie AS obj,
+         |    CAST(n AS DOUBLE) AS weight, CAST(n AS BIGINT) AS evidence
+         |  FROM cp JOIN ec ca ON ca.envo = cp.ea JOIN ec cb ON cb.envo = cp.eb)
+         |SELECT * FROM (SELECT * FROM ann UNION ALL SELECT * FROM men
+         |               UNION ALL SELECT * FROM cc)
+         |ORDER BY subj, pred, obj, weight, evidence""".stripMargin,
     "o7_sample_projection_restricted" ->
       s"""WITH fe(form, envo) AS (VALUES
          |$restrictedFormEnvoValues),
