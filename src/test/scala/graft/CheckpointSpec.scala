@@ -65,6 +65,30 @@ class CheckpointSpec extends SparkSpec {
     }
   }
 
+  test("stale resume fails for a DIFFERENT dictionary too") {
+    // an overridden vocabulary changes every stage's output, so a resume
+    // against a checkpoint written under another dict must fail loudly —
+    // the fingerprint carries the dictionary identity
+    val turns = (0L until 20L).flatMap(i => TranscriptGen.turnsFor(i, 3L, 5, 5)).toDS.toDF
+    val dir = Files.createTempDirectory("graft-ckpt4").toString
+    val cfgd = PipelineConfig(checkpointDir = Some(dir))
+    new KgPipeline(spark, cfgd).run(turns).scores.count()
+
+    val full = KgPipeline.sharedDict
+    val tiny = full.copy(formToSerials =
+      full.formToSerials.filter(kv => Set("ocean", "lake").contains(kv._1)))
+    val ex = intercept[IllegalStateException] {
+      new KgPipeline(spark, cfgd, dictOverride = Some(tiny)).run(turns).scores.count()
+    }
+    assert(ex.getMessage.contains("fingerprint"))
+    // and the overridden pipeline resumes cleanly against ITS OWN dir
+    val dir2 = Files.createTempDirectory("graft-ckpt5").toString
+    val cfg2 = PipelineConfig(checkpointDir = Some(dir2))
+    val n = new KgPipeline(spark, cfg2, dictOverride = Some(tiny)).run(turns).scores.count()
+    assert(new KgPipeline(spark, cfg2, dictOverride = Some(tiny))
+      .run(turns).scores.count() === n)
+  }
+
   test("stale resume fails for FILE inputs too: same schema, different path") {
     // LogicalRelation.simpleString carries NO file path, so a schema-only
     // fingerprint would serve a.parquet's stages against b.parquet silently
