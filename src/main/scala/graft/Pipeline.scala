@@ -141,7 +141,8 @@ final class KgPipeline(spark: SparkSession, cfg: PipelineConfig = PipelineConfig
     }
     val mentionTriples = TripleEmit.mentionTriples(spark, envoRows, dict)
     val cooc = Checkpoint.stage(spark, ckpt, "cooccurrence", fp) {
-      TripleEmit.coOccurrence(scores)
+      // scores is a (conv_id, envo) groupBy output — provably distinct
+      TripleEmit.coOccurrence(scores, assumeDistinct = true)
     }
 
     KgResult(

@@ -47,7 +47,7 @@ object ProfileKg {
     time("score_persist") { scP.count() }
     time("annotated") { TripleEmit.annotatedWith(spark, scP, erP, pipe.dict).count() }
     time("mention_triples") { TripleEmit.mentionTriples(spark, erP, pipe.dict).count() }
-    time("cooccurrence") { TripleEmit.coOccurrence(scP).count() }
+    time("cooccurrence") { TripleEmit.coOccurrence(scP, assumeDistinct = true).count() }
     spark.stop()
   }
 }
