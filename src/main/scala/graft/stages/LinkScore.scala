@@ -107,10 +107,15 @@ object LinkScore {
     //     summed per (conv, envo) (analysis.py:376-380) ---
     val counts = restricted.groupBy("conv_id", "envo").agg(count(lit(1)).as("occ"))
     if (cfg.proportional) {
-      val totals = counts.groupBy("conv_id").agg(sum("occ").as("total"))
-      counts.join(totals, "conv_id")
-        .select(col("conv_id"), col("envo"),
-          (col("occ").cast("double") / col("total")).as("score"))
+      // conv total as a window-sum over the ALREADY-AGGREGATED counts: one
+      // exchange by conv_id instead of a second agg + two-sided join. Safe
+      // from the window-skew trap because counts is bounded at ≤|EnvO| rows
+      // per conversation (the raw-occurrence collapse happened above); the
+      // total is a LONG sum of LONG counts — exact and order-invariant, so
+      // every oracle's occ/total division is unchanged bit-for-bit.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("conv_id")
+      counts.select(col("conv_id"), col("envo"),
+        (col("occ").cast("double") / sum("occ").over(w)).as("score"))
     } else {
       counts.select(col("conv_id"), col("envo"), col("occ").cast("double").as("score"))
     }
