@@ -21,7 +21,12 @@ final case class PipelineConfig(
       * deterministic exchange (repartition by conv_id) instead of a
       * columnar cache: Spark's ReuseExchange computes the shuffle once and
       * all branches read it. Shuffle write scales with cores; the columnar
-      * cache build does not. Overrides persistIntermediates for envoRows. */
+      * cache build does not. Overrides persistIntermediates for envoRows.
+      * Measured crossover (3.4M turns, allTriples action): 8 cores
+      * exchange 18.5-19.5 s vs cache 20.3-21.2 s; 2 cores exchange
+      * 74-80 s vs cache 70-73 s — prefer the exchange on real multi-core
+      * executors, the cache at low parallelism
+      * (`tools.ProfileKg <turns> <cores> direct e2e` reproduces the A/B). */
     reuseExchange: Boolean = false)
 
 /** All pipeline outputs (lazy DataFrames — nothing executes until a sink

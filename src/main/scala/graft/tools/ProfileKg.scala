@@ -23,6 +23,25 @@ object ProfileKg {
     // warmup
     new KgPipeline(spark).run(turns.limit(2000)).annotated.count()
 
+    // e2e mode: the bench's exact flagship shape (direct tagging, one
+    // allTriples action), A/B-ing the envoRows sharing strategy —
+    // columnar cache (persistIntermediates) vs deterministic exchange
+    // reuse (reuseExchange). Two timed reps each, cache cleared between.
+    if (args.contains("e2e")) {
+      for (reuse <- Seq(false, true); rep <- 1 to 2) {
+        time(f"e2e reuse=$reuse rep$rep") {
+          val r = new KgPipeline(spark, PipelineConfig(
+            persistIntermediates = true, dedupeTexts = false,
+            reuseExchange = reuse)).run(turns)
+          val n = r.allTriples.count()
+          spark.sharedState.cacheManager.clearCache()
+          n
+        }
+      }
+      spark.stop()
+      return
+    }
+
     val tm = MentionDetect.detect(spark, turns, dedupe)
     time("mention_detect") { tm.count() }
     val er = MentionDetect.envoRows(tm)
