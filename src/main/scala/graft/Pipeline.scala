@@ -74,9 +74,13 @@ final class KgPipeline(spark: SparkSession, cfg: PipelineConfig = PipelineConfig
 
   /** Broadcast automaton for the override path; the default path keeps the
     * JVM-global automaton (zero broadcast, built per executor from bundled
-    * resources). Lazy: built only if run() is called. */
+    * resources). Lazy: built only if run() is called. Cached per
+    * (SparkContext, dict content) — a long-lived session constructing one
+    * pipeline per request would otherwise leak one broadcast (and one
+    * tag_envo_b<id> registry entry) per run; with the cache both are
+    * bounded by the number of DISTINCT dictionaries seen. */
   private lazy val dictBc: Option[org.apache.spark.broadcast.Broadcast[AhoCorasick]] =
-    dictOverride.map(d => spark.sparkContext.broadcast(AhoCorasick.build(d)))
+    dictOverride.map(d => KgPipeline.broadcastFor(spark, d))
 
   /** md5 of the analyzed input lineage + every config knob that changes
     * stage output — recorded in checkpoint manifests so resuming a dir
@@ -106,9 +110,11 @@ final class KgPipeline(spark: SparkSession, cfg: PipelineConfig = PipelineConfig
       }.mkString("\n")
       // dict identity: an overridden vocabulary changes every stage's
       // output, so resuming a checkpoint written under a different
-      // dictionary must fail loudly like any other config change
+      // dictionary must fail loudly like any other config change. Full
+      // CONTENT digest, not the form key set — same forms with a different
+      // form→concept mapping are a different dictionary.
       val dictKey = dictOverride
-        .map(d => s"dict:${d.formToSerials.keys.toSeq.sorted.mkString(",").hashCode}")
+        .map(d => s"dict:${d.contentDigest}")
         .getOrElse("dict:shared")
       val key = s"$planKey|${cfg.score}|${cfg.evidenceCap}|${cfg.dedupeTexts}|$dictKey"
       java.util.UUID.nameUUIDFromBytes(key.getBytes("UTF-8")).toString
@@ -166,4 +172,17 @@ object KgPipeline {
   // Dictionary + automaton are immutable; build them once per JVM.
   lazy val sharedDict: EnvoDict = EnvoDict.load()
   lazy val sharedAutomaton: AhoCorasick = AhoCorasick.build(sharedDict)
+
+  // (SparkContext identity, dict content digest) -> broadcast automaton.
+  // Entries for a stopped context are dropped on next access.
+  private val bcCache =
+    scala.collection.mutable.Map.empty[(org.apache.spark.SparkContext, String),
+      org.apache.spark.broadcast.Broadcast[AhoCorasick]]
+
+  private[graft] def broadcastFor(spark: SparkSession, dict: EnvoDict):
+      org.apache.spark.broadcast.Broadcast[AhoCorasick] = bcCache.synchronized {
+    bcCache.keysIterator.filter(_._1.isStopped).toList.foreach(bcCache.remove)
+    bcCache.getOrElseUpdate((spark.sparkContext, dict.contentDigest),
+      spark.sparkContext.broadcast(AhoCorasick.build(dict)))
+  }
 }

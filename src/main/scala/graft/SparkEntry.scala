@@ -312,7 +312,7 @@ object SparkEntry {
     * tagging over them degenerates to token equality. */
   private val restrictedForms = Seq("garden", "lake", "mud", "ocean", "pond", "sea")
 
-  private def restrictedDict = {
+  private lazy val restrictedDict = {
     val full = KgPipeline.sharedDict
     full.copy(formToSerials = full.formToSerials.filter(kv => restrictedForms.contains(kv._1)))
   }
@@ -367,16 +367,24 @@ object SparkEntry {
     * would be constant within a conv and collapse every conversation to one
     * turn) and a % 3 tool with the null-tool bypass class. Every modulus is
     * mirrored verbatim in the corresponding oracles — change both together. */
+  // The o4-family reshaping constants, single-sourced for BOTH builders
+  // (reshapeToConvs and restrictedPipeline) so the "change every site
+  // together" coupling with the oracles spans two expressions, not three
+  // hand-copied blocks.
+  private def convOf(doc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (doc % 50).cast("string")
+  private def toolOf(doc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(doc % 3 === 0, lit(null).cast("string"))
+      .otherwise(concat(lit("t"), (doc % 3).cast("string")))
+
   private def reshapeToConvs(rows: DataFrame, withTextHash: Boolean = false,
                              withTool: Boolean = false): DataFrame = {
     val base = rows
       .withColumn("doc_id", col("conv_id").cast("bigint"))
-      .withColumn("conv_id", (col("doc_id") % 50).cast("string"))
+      .withColumn("conv_id", convOf(col("doc_id")))
       .withColumn("turn_idx", col("doc_id").cast("int"))
     val withTh = if (withTextHash) base.withColumn("text_hash", col("doc_id") % 7) else base
-    val withT = if (withTool) withTh.withColumn("tool",
-      when(col("doc_id") % 3 === 0, lit(null).cast("string"))
-        .otherwise(concat(lit("t"), (col("doc_id") % 3).cast("string"))))
+    val withT = if (withTool) withTh.withColumn("tool", toolOf(col("doc_id")))
     else withTh
     withT.drop("doc_id")
   }
@@ -388,12 +396,11 @@ object SparkEntry {
   private def restrictedPipeline(s: SparkSession, d: String): KgResult = {
     val turns = s.read.parquet(s"$d/documents.parquet")
       .select(
-        (col("doc_id") % 50).cast("string").as("conv_id"),
+        convOf(col("doc_id")).as("conv_id"),
         col("doc_id").cast("int").as("turn_idx"),
         lit("user").as("role"),
         taggerInjection.as("text"),
-        when(col("doc_id") % 3 === 0, lit(null).cast("string"))
-          .otherwise(concat(lit("t"), (col("doc_id") % 3).cast("string"))).as("tool"),
+        toolOf(col("doc_id")).as("tool"),
         lit(java.sql.Timestamp.valueOf("2025-01-01 00:00:00")).as("ts"))
     new KgPipeline(s,
         PipelineConfig(

@@ -48,6 +48,32 @@ final case class EnvoDict(
     * restrict node itself is not its own descendant). */
   def descendantsOf(root: Int): Set[Int] =
     closure.iterator.collect { case (child, ancs) if ancs.contains(root) => child }.toSet
+
+  /** md5 over a canonical serialization of EVERY output-affecting table
+    * (form→serials mapping, stoplist, closure, serial→curie) — the
+    * dictionary identity used by checkpoint fingerprints and broadcast
+    * caching. Hashing only the form KEY SET is not enough: two dicts with
+    * the same surface forms but a different form→concept mapping (a
+    * re-versioned domain dictionary) produce different triples and must
+    * never share a checkpoint. Computed once per instance. */
+  @transient lazy val contentDigest: String = {
+    val sb = new StringBuilder
+    formToSerials.toSeq.sortBy(_._1).foreach { case (f, ss) =>
+      sb.append(f).append('=').append(ss.sorted.mkString(",")).append(';')
+    }
+    sb.append('|')
+    stoplist.toSeq.sorted.foreach(s => sb.append(s).append(';'))
+    sb.append('|')
+    closure.toSeq.sortBy(_._1).foreach { case (c, as) =>
+      sb.append(c).append('=').append(as.sorted.mkString(",")).append(';')
+    }
+    sb.append('|')
+    serialToCurie.toSeq.sortBy(_._1).foreach { case (s, c) =>
+      sb.append(s).append('=').append(c).append(';')
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(sb.toString.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+  }
 }
 
 object EnvoDict {

@@ -132,6 +132,9 @@ object DocOps {
     * are then a pure projection (explode of nBands concat_ws keys). Same
     * h_i arithmetic, same key strings — the DuckDB oracle is unchanged. */
   private[graft] def kmMinhashBands(grams: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+    // trailing slots would be silently dropped by the integer band count —
+    // refuse rather than quietly lose candidate recall
+    require(k % rowsPerBand == 0, s"k=$k must be a multiple of rowsPerBand=$rowsPerBand")
     val withAB = grams
       .withColumn("h0", md5(col("g")))
       .withColumn("a", expr("cast(conv(substring(h0, 1, 15), 16, 10) as bigint)"))

@@ -159,6 +159,8 @@ object EmbedOps {
         // per element and x/n vs x*(1/n) differ in the last ulp.
         (r.getLong(0).toInt, if (n > 0) v.map(_ / n) else v)
       }.sortBy(_._1)
+    require(seeds.nonEmpty,
+      s"ivfTopK needs at least one seed vector with vec_id < nlist=$nlist")
     val dim0 = seeds.head._2.length
 
     // one Lloyd step: argmax over the SEED literals, then nlist×dim exact
@@ -166,8 +168,12 @@ object EmbedOps {
     val seedScores = array(seeds.map { case (cid, cv) =>
       struct(litDot(col("embedding"), cv).as("s"), lit(cid).as("cell"))
     }: _*)
+    // try_element_at: a ragged (shorter) embedding contributes NULL to the
+    // missing dimensions, which sum() skips — Spark's ANSI element_at would
+    // kill the whole job on one truncated row, and DuckDB list indexing
+    // returns NULL out-of-bounds, so this is also the oracle-parity choice
     val sumCols = (0 until dim0).map(i => sum(expr(
-      s"cast(round(cast(element_at(embedding, ${i + 1}) as double) * $LloydScale) as bigint)"
+      s"cast(round(cast(try_element_at(embedding, ${i + 1}) as double) * $LloydScale) as bigint)"
     )).as(s"s$i"))
     val cellRows = e
       .select(col("embedding"), array_max(seedScores).getField("cell").as("cell"))

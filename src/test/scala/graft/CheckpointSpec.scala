@@ -81,6 +81,22 @@ class CheckpointSpec extends SparkSpec {
       new KgPipeline(spark, cfgd, dictOverride = Some(tiny)).run(turns).scores.count()
     }
     assert(ex.getMessage.contains("fingerprint"))
+
+    // the sharper case: SAME surface forms, DIFFERENT form→concept mapping
+    // (a re-versioned dictionary). A key-set fingerprint would collide and
+    // silently serve the old concepts — the content digest must not.
+    val dirT = Files.createTempDirectory("graft-ckpt6").toString
+    val cfgT = PipelineConfig(checkpointDir = Some(dirT))
+    new KgPipeline(spark, cfgT, dictOverride = Some(tiny)).run(turns).scores.count()
+    val remapped = tiny.copy(formToSerials =
+      tiny.formToSerials.map { case (f, ss) =>
+        f -> (if (f == "ocean") tiny.formToSerials("lake") else ss)
+      })
+    assert(remapped.formToSerials.keySet === tiny.formToSerials.keySet)
+    val exMap = intercept[IllegalStateException] {
+      new KgPipeline(spark, cfgT, dictOverride = Some(remapped)).run(turns).scores.count()
+    }
+    assert(exMap.getMessage.contains("fingerprint"))
     // and the overridden pipeline resumes cleanly against ITS OWN dir
     val dir2 = Files.createTempDirectory("graft-ckpt5").toString
     val cfg2 = PipelineConfig(checkpointDir = Some(dir2))
