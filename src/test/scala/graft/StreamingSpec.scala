@@ -199,6 +199,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup bucket state survives a query RESTART with its eviction order") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamDoc
+    import java.sql.Timestamp
+    // BucketState carries the arrival-order vector precisely because a
+    // bare Map loses insertion order across the state-store round-trip —
+    // this pins that the order (and therefore WHICH doc the cap evicts)
+    // is preserved when the query restarts from its checkpoint
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndrestart").toString
+    val text = "the same boilerplate paragraph repeated in every document of this bucket today"
+    def writeBatch(sub: String, ids: Seq[Long]): Unit =
+      ids.map(i => StreamDoc(i, text, new Timestamp(1735689600000L + i * 60000L)))
+        .toDS().write.mode("overwrite").parquet(s"$dir/in/$sub")
+    writeBatch("b1", Seq(1L, 2L, 3L))
+
+    val schema = spark.read.parquet(s"$dir/in/b1").schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .parquet(s"$dir/in/*").as[StreamDoc]
+      val q = StreamingMentions.nearDupStream(spark, stream,
+          maxHamming = 12, stateTimeout = None, maxDocsPerBucket = 2)
+        .writeStream
+        // flatMapGroupsWithState emits Update-mode output, which the
+        // append-only parquet sink rejects — foreachBatch accepts it and
+        // still checkpoints state
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.NearDupHit], _: Long) =>
+          batch.write.mode("append").parquet(s"$dir/out")
+        }
+        .outputMode("update")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runOnce() // batch 1: docs 1,2,3 — cap 2 evicts doc 1; state = {2,3}
+    writeBatch("b2", Seq(10L))
+    runOnce() // restart from checkpoint: doc 10 must match ONLY {2,3}
+    val hits = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val doc10 = hits.collect { case (10L, d) => d }
+    assert(doc10 === Set(2L, 3L),
+      s"restarted state must keep {2,3} with doc 1 evicted, got $doc10 (all hits: $hits)")
+  }
+
   test("stateful running per-conversation scores accumulate across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Turn]
