@@ -112,10 +112,19 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("tag_envo", c)
   }
 
-  /** Register `tag_envo` for SQL use on an existing session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register `tag_envo` + `vec_dot` for SQL use on an existing session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "tag_envo", exprs => TagEnvoMentions(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
+  }
+
+  /** Column-API native dot product (see [[VecDot]]). */
+  def vec_dot(a: Column, b: Column): Column = {
+    register(org.apache.spark.sql.SparkSession.active)
+    org.apache.spark.sql.functions.call_function("vec_dot", a, b)
+  }
 
   /** Column-API tagger with an INJECTED dictionary automaton: registers a
     * per-broadcast function name (`tag_envo_b<id>` — broadcast ids are
@@ -140,6 +149,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       org.apache.spark.sql.catalyst.FunctionIdentifier("tag_envo"),
       new ExpressionInfo(classOf[TagEnvoMentions].getName, "tag_envo"),
       (exprs: Seq[Expression]) => TagEnvoMentions(exprs.head)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
     e.injectOptimizerRule(_ => AutoDistinctTag)
   }
 }

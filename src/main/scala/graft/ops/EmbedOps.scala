@@ -22,8 +22,17 @@ object EmbedOps {
     spark.read.parquet(s"$dir/embeddings.parquet")
 
   /** dot(a, b) in double, left-to-right accumulation (shared with
-    * MultimodalOps so media-cosine and embedding-cosine can never diverge). */
+    * MultimodalOps so media-cosine and embedding-cosine can never diverge).
+    * Backed by the native codegen'd [[graft.functions.VecDot]] expression —
+    * the zip_with + aggregate HOF shape it replaced is interpreted (lambda
+    * dispatch + an intermediate product array per pair), and VecDot's
+    * contract pins the IDENTICAL left-fold double arithmetic, so every
+    * cosine oracle is unchanged bit-for-bit (re-verified at all SFs). */
   private[graft] def dot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.vec_dot(a, b)
+
+  /** The replaced HOF shape, kept for the parity test only. */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)

@@ -328,6 +328,42 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("vec_dot expression == the interpreted HOF fold, bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the native expression replaced zip_with+aggregate in every cosine
+    // path on a bit-parity contract — pin it on real float data, on a
+    // double literal side, and on the NULL/mismatch edge cases
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val both = e.select(
+      graft.ops.EmbedOps.dot(col("embedding"), col("embedding")).as("native"),
+      graft.ops.EmbedOps.dotHof(col("embedding"), col("embedding")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), "float-side parity"))
+    val lits = Array.tabulate(64)(i => (i % 7).toDouble / 3.0 - 1.0)
+    val withLit = e.select(
+      graft.ops.EmbedOps.dot(col("embedding"), typedlit(lits.toSeq)).as("native"),
+      graft.ops.EmbedOps.dotHof(col("embedding"), typedlit(lits.toSeq)).as("hof"))
+      .collect()
+    withLit.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), "literal-side parity"))
+    // NULL element and length-mismatch both yield NULL, like the HOF shape
+    val edge = Seq(
+      (Seq[java.lang.Float](1f, null, 3f), Seq[java.lang.Float](1f, 2f, 3f)),
+      (Seq[java.lang.Float](1f, 2f), Seq[java.lang.Float](1f, 2f, 3f)))
+      .toDF("a", "b")
+      .select(graft.ops.EmbedOps.dot(col("a"), col("b")).as("native"),
+        graft.ops.EmbedOps.dotHof(col("a"), col("b")).as("hof"))
+      .collect()
+    edge.foreach { r =>
+      assert(r.isNullAt(0) && r.isNullAt(1), s"edge rows must be NULL on both: $r")
+    }
+  }
+
   test("HLL approx distinct within its relative standard deviation bound") {
     graft.ops.RelationalOps.approxDistinct(spark, dir, rsd = 0.02).collect().foreach { r =>
       val (exact, approx) = (r.getLong(1), r.getLong(2))

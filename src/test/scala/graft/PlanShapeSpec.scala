@@ -145,6 +145,24 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
+  test("vec_dot is whole-stage-codegen'd, not a fallback") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val scored = e.select(org.apache.spark.sql.functions.col("vec_id"),
+        graft.ops.EmbedOps.dot(
+          org.apache.spark.sql.functions.col("embedding"),
+          org.apache.spark.sql.functions.col("embedding")).as("d"))
+      assert(scored.count() > 0)
+      val spans = scored.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+          if w.toString.contains("vec_dot") => w
+      }
+      assert(spans.nonEmpty,
+        s"vec_dot must fuse into a codegen span:\n${scored.queryExecution.executedPlan}")
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("injected-dictionary tag_envo is also whole-stage-codegen'd") {
     // the broadcast-handle path generates different code (mutable-state
     // automaton resolved from the broadcast once per generated instance) —
