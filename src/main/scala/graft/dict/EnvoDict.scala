@@ -50,7 +50,8 @@ final case class EnvoDict(
     closure.iterator.collect { case (child, ancs) if ancs.contains(root) => child }.toSet
 
   /** md5 over a canonical serialization of EVERY output-affecting table
-    * (form→serials mapping, stoplist, closure, serial→curie) — the
+    * (form→serials mapping, stoplist, closure, serial→curie, preferred
+    * names) — the
     * dictionary identity used by checkpoint fingerprints and broadcast
     * caching. Hashing only the form KEY SET is not enough: two dicts with
     * the same surface forms but a different form→concept mapping (a
@@ -70,6 +71,13 @@ final case class EnvoDict(
     sb.append('|')
     serialToCurie.toSeq.sortBy(_._1).foreach { case (s, c) =>
       sb.append(s).append('=').append(c).append(';')
+    }
+    sb.append('|')
+    // preferredName feeds the triples' `name` column (TripleEmit via
+    // Canonicalize) — a name-only dictionary revision is still a different
+    // dictionary for checkpoint purposes
+    preferredName.toSeq.sortBy(_._1).foreach { case (c, n) =>
+      sb.append(c).append('=').append(n).append(';')
     }
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(sb.toString.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString

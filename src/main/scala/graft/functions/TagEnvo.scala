@@ -117,7 +117,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "tag_envo", exprs => TagEnvoMentions(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
+      "vec_dot", exprs => {
+        require(exprs.length == 2, s"vec_dot takes 2 arguments, got ${exprs.length}")
+        VecDot(exprs.head, exprs(1))
+      }, "built-in")
   }
 
   /** Column-API native dot product (see [[VecDot]]). */
@@ -152,7 +155,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"vec_dot takes 2 arguments, got ${exprs.length}")
+        VecDot(exprs.head, exprs(1))
+      }))
     e.injectOptimizerRule(_ => AutoDistinctTag)
   }
 }

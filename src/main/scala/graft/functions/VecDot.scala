@@ -25,9 +25,9 @@ import org.apache.spark.sql.types._
  *  - length mismatch → NULL (`zip_with` pads with NULL → NULL product);
  *  - either array NULL → NULL (BinaryExpression null-intolerance).
  *
- * Element types: each side may independently be array<float> or
- * array<double> (embeddings/features are float32; literal vectors from
- * `typedlit` are double).
+ * Element types: each side may independently be any numeric array the HOF
+ * shape's `cast("double")` accepted — float (embeddings/features), double
+ * (`typedlit` literals), int, or long.
  */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -35,41 +35,43 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
-  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case ArrayType(DoubleType, _) => false
+  private def elemCode(e: Expression): Int = e.dataType match {
+    case ArrayType(DoubleType, _) => VecDot.ElemDouble
+    case ArrayType(FloatType, _) => VecDot.ElemFloat
+    case ArrayType(IntegerType, _) => VecDot.ElemInt
+    case ArrayType(LongType, _) => VecDot.ElemLong
     case other => throw new IllegalArgumentException(
-      s"vec_dot needs array<float|double> inputs, got $other")
+      s"vec_dot needs numeric array inputs, got $other")
   }
 
-  @transient private lazy val leftFloat = elemIsFloat(left)
-  @transient private lazy val rightFloat = elemIsFloat(right)
+  @transient private lazy val leftCode = elemCode(left)
+  @transient private lazy val rightCode = elemCode(right)
 
   override def checkInputDataTypes():
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(e: Expression) = e.dataType match {
-      case ArrayType(FloatType | DoubleType, _) => true
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
       case _ => false
     }
     if (ok(left) && ok(right))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"vec_dot needs array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+        s"vec_dot needs numeric array inputs, got ${left.dataType} / ${right.dataType}")
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VecDot.compute(a.asInstanceOf[ArrayData], leftFloat,
-      b.asInstanceOf[ArrayData], rightFloat)
+    VecDot.compute(a.asInstanceOf[ArrayData], leftCode,
+      b.asInstanceOf[ArrayData], rightCode)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val lf = leftFloat
-    val rf = rightFloat
+    val lc = leftCode
+    val rc = rightCode
     // compute() returns java.lang.Double (null on mismatch/null element) —
     // unbox behind a null check so ev.isNull stays accurate
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val boxed = ctx.freshName("dot")
-      s"""java.lang.Double $boxed = graft.functions.VecDot.compute($a, $lf, $b, $rf);
+      s"""java.lang.Double $boxed = graft.functions.VecDot.compute($a, $lc, $b, $rc);
          |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.doubleValue(); }
          |""".stripMargin
     })
@@ -84,20 +86,30 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
 object VecDot {
 
+  final val ElemDouble = 0
+  final val ElemFloat = 1
+  final val ElemInt = 2
+  final val ElemLong = 3
+
   /** Shared interpreted/codegen body (static forwarder for generated Java).
     * Returns null (boxed) exactly when the HOF shape returned NULL. */
-  def compute(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): java.lang.Double = {
+  def compute(a: ArrayData, aCode: Int, b: ArrayData, bCode: Int): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
-      acc += x * y
+      acc += elem(a, aCode, i) * elem(b, bCode, i)
       i += 1
     }
     java.lang.Double.valueOf(acc)
+  }
+
+  private def elem(arr: ArrayData, code: Int, i: Int): Double = code match {
+    case ElemDouble => arr.getDouble(i)
+    case ElemFloat => arr.getFloat(i).toDouble
+    case ElemInt => arr.getInt(i).toDouble
+    case _ => arr.getLong(i).toDouble
   }
 }

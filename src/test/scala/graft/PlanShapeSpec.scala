@@ -146,14 +146,17 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("vec_dot is whole-stage-codegen'd, not a fallback") {
-    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    import org.apache.spark.sql.functions.{col, sum}
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
-      val scored = e.select(org.apache.spark.sql.functions.col("vec_id"),
-        graft.ops.EmbedOps.dot(
-          org.apache.spark.sql.functions.col("embedding"),
-          org.apache.spark.sql.functions.col("embedding")).as("d"))
-      assert(scored.count() > 0)
+      val scored = e.select(col("vec_id"),
+        graft.ops.EmbedOps.dot(col("embedding"), col("embedding")).as("d"))
+      // CONSUME the dot column — a bare count() column-prunes `d` and the
+      // generated Java never compiles, making the fallback=false pin
+      // illusory; summing forces the vec_dot codegen to compile AND run
+      val total = scored.agg(sum("d")).head().getDouble(0)
+      assert(total > 0.0, "norms-squared must sum positive")
       val spans = scored.queryExecution.executedPlan.collect {
         case w: org.apache.spark.sql.execution.WholeStageCodegenExec
           if w.toString.contains("vec_dot") => w

@@ -231,7 +231,11 @@ class StreamingSpec extends SparkSpec {
         .option("checkpointLocation", s"$dir/ckpt")
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
+      val finished = q.awaitTermination(120000)
+      if (!finished) {
+        q.stop()
+        fail("near-dup restart query did not finish within 120 s")
+      }
     }
     runOnce() // batch 1: docs 1,2,3 — cap 2 evicts doc 1; state = {2,3}
     writeBatch("b2", Seq(10L))
