@@ -129,6 +129,18 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("vec_dot", a, b)
   }
 
+  /** Column-API bounded distinct-min-k aggregate (see [[BoundedMinSet]]). */
+  def bounded_min_set(x: Column, cap: Int): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val name = s"bounded_min_set_$cap"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => {
+        require(exprs.length == 1, s"$name takes 1 argument, got ${exprs.length}")
+        BoundedMinSet(exprs.head, cap).toAggregateExpression()
+      }, "built-in")
+    org.apache.spark.sql.functions.call_function(name, x)
+  }
+
   /** Column-API tagger with an INJECTED dictionary automaton: registers a
     * per-broadcast function name (`tag_envo_b<id>` — broadcast ids are
     * session-unique, so concurrent pipelines with different dictionaries

@@ -46,13 +46,19 @@ object TripleEmit {
     * with exact supporting-turn counts from the envo-occurrence rows. */
   def annotatedWith(spark: SparkSession, scores: DataFrame, envoRows: DataFrame,
                     dict: EnvoDict, evidenceCap: Int = 20): DataFrame = {
-    // support: per (conv, envo) — distinct supporting turns (A10 analog)
+    // support: per (conv, envo) — distinct supporting turns (A10 analog).
+    // The sample uses the BOUNDED min-k aggregate, not
+    // slice(sort_array(collect_set(...))): the slice caps only the OUTPUT,
+    // while collect_set's buffer still accumulates every distinct turn of
+    // a mega-conversation before the slice discards them — O(cap) state
+    // per group is the contract the scaladoc above promises. Same values.
     val support = envoRows
       .select(col("conv_id"), col("envo"), col("turn_idx"))
       .groupBy("conv_id", "envo")
       .agg(
         countDistinct("turn_idx").as("n_turns"),
-        slice(sort_array(collect_set("turn_idx")), 1, evidenceCap).as("turn_sample"))
+        graft.functions.GraftFunctions.bounded_min_set(col("turn_idx"), evidenceCap)
+          .as("turn_sample"))
     Canonicalize.canonicalize(spark, scores.join(support, Seq("conv_id", "envo"), "left"), dict)
       .select(
         col("conv_id").as("subj"),
