@@ -34,9 +34,22 @@ case class BoundedMinSet(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.TreeSet[Int]] {
 
-  require(cap > 0, s"bounded_min_set cap must be positive, got $cap")
+  // cap = 0 is valid (empty samples — the slice shape it replaced allowed
+  // it); negative caps are config errors
+  require(cap >= 0, s"bounded_min_set cap must be non-negative, got $cap")
 
   override def children: Seq[Expression] = Seq(child)
+  // analysis-time type contract: without it a long column would pass the
+  // planner and die per-task in the asInstanceOf with an opaque stage error
+  // (AbstractDataType is private[sql], so the check is hand-rolled rather
+  // than via ExpectsInputTypes)
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bounded_min_set needs an int column, got ${child.dataType}")
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -45,7 +58,7 @@ case class BoundedMinSet(
 
   private def insert(buf: java.util.TreeSet[Int], v: Int): Unit = {
     if (buf.size < cap) { buf.add(v); () }
-    else if (v < buf.last) {
+    else if (!buf.isEmpty && v < buf.last) { // cap=0 → buf stays empty
       if (buf.add(v)) buf.pollLast()
       ()
     }

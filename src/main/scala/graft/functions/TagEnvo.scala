@@ -129,9 +129,12 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("vec_dot", a, b)
   }
 
-  /** Column-API bounded distinct-min-k aggregate (see [[BoundedMinSet]]). */
-  def bounded_min_set(x: Column, cap: Int): Column = {
-    val spark = org.apache.spark.sql.SparkSession.active
+  /** Column-API bounded distinct-min-k aggregate (see [[BoundedMinSet]]).
+    * Takes the session EXPLICITLY (like `tag_envo_with`): registering on
+    * `SparkSession.active` would target the wrong registry when the
+    * calling thread's active session differs from the plan's session. */
+  def bounded_min_set(spark: org.apache.spark.sql.SparkSession,
+                      x: Column, cap: Int): Column = {
     val name = s"bounded_min_set_$cap"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => {

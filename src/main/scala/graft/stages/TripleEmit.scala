@@ -57,7 +57,7 @@ object TripleEmit {
       .groupBy("conv_id", "envo")
       .agg(
         countDistinct("turn_idx").as("n_turns"),
-        graft.functions.GraftFunctions.bounded_min_set(col("turn_idx"), evidenceCap)
+        graft.functions.GraftFunctions.bounded_min_set(spark, col("turn_idx"), evidenceCap)
           .as("turn_sample"))
     Canonicalize.canonicalize(spark, scores.join(support, Seq("conv_id", "envo"), "left"), dict)
       .select(

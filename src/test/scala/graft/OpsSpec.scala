@@ -372,7 +372,7 @@ class OpsSpec extends SparkSpec {
     val rows = (0 until 5000).map(_ => (rnd.nextInt(7), rnd.nextInt(400)))
     val df = rows.toDF("g", "v").repartition(8)
     val got = df.groupBy("g")
-      .agg(graft.functions.GraftFunctions.bounded_min_set(col("v"), 20).as("s"))
+      .agg(graft.functions.GraftFunctions.bounded_min_set(spark, col("v"), 20).as("s"))
       .collect().map(r => r.getInt(0) -> r.getSeq[Int](1).toSeq).toMap
     val exp = df.groupBy("g")
       .agg(slice(sort_array(collect_set(col("v"))), 1, 20).as("s"))
@@ -383,7 +383,7 @@ class OpsSpec extends SparkSpec {
     val big = (0 until 100000).map(i => (1, (i * 2654435761L % 1000003L).toInt))
       .toDF("g", "v").repartition(16)
     val bigGot = big.groupBy("g")
-      .agg(graft.functions.GraftFunctions.bounded_min_set(col("v"), 5).as("s"))
+      .agg(graft.functions.GraftFunctions.bounded_min_set(spark, col("v"), 5).as("s"))
       .collect().head.getSeq[Int](1).toSeq
     val bigExp = big.select("v").distinct().orderBy("v").limit(5)
       .collect().map(_.getInt(0)).toSeq
@@ -392,7 +392,7 @@ class OpsSpec extends SparkSpec {
     val withNulls = Seq((1, Some(3)), (1, None), (1, Some(1)), (1, Some(3)))
       .toDF("g", "v")
     val n = withNulls.groupBy("g")
-      .agg(graft.functions.GraftFunctions.bounded_min_set(col("v"), 10).as("s"))
+      .agg(graft.functions.GraftFunctions.bounded_min_set(spark, col("v"), 10).as("s"))
       .collect().head.getSeq[Int](1).toSeq
     assert(n === Seq(1, 3))
   }
