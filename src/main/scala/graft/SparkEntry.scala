@@ -1302,13 +1302,13 @@ object SparkEntry {
         |sx AS (SELECT a.cell, e.embedding,
         |    unnest(generate_series(1, len(e.embedding))) AS dim
         |  FROM assign0 a JOIN e USING (vec_id)),
+        |cellcnt AS (SELECT cell, count(*) AS n FROM assign0 GROUP BY cell),
         |sums AS (SELECT cell, dim,
-        |    sum(CAST(round(CAST(embedding[dim] AS DOUBLE) * 1073741824.0) AS BIGINT)) AS fx,
-        |    count(*) AS n
+        |    sum(CAST(round(CAST(embedding[dim] AS DOUBLE) * 1073741824.0) AS BIGINT)) AS fx
         |  FROM sx GROUP BY 1, 2),
-        |means AS (SELECT cell,
-        |    list(CAST(fx AS DOUBLE) / (CAST(n AS DOUBLE) * 1073741824.0) ORDER BY dim) AS mv
-        |  FROM sums GROUP BY cell),
+        |means AS (SELECT s.cell,
+        |    list(CAST(fx AS DOUBLE) / (CAST(c.n AS DOUBLE) * 1073741824.0) ORDER BY dim) AS mv
+        |  FROM sums s JOIN cellcnt c USING (cell) GROUP BY s.cell, c.n),
         |refined AS (SELECT cell,
         |  CASE WHEN sqrt(list_aggregate([mv[j] * mv[j]
         |                                 for j in range(1, len(mv) + 1)], 'sum')) > 0

@@ -59,25 +59,32 @@ final case class EnvoDict(
     * never share a checkpoint. Computed once per instance. */
   @transient lazy val contentDigest: String = {
     val sb = new StringBuilder
+    // Every free-form STRING field is length-prefixed ("<len>:<bytes>"):
+    // surface forms / names may themselves contain '='/';'/','/'|', and with
+    // bare separators two DIFFERENT dictionaries could serialize to the same
+    // canonical string (e.g. a form ending "=1" vs a serial list starting
+    // "1"), colliding the checkpoint/broadcast identity. A length prefix
+    // makes the serialization prefix-free regardless of field content.
+    def str(s: String): Unit = { sb.append(s.length).append(':').append(s) }
     formToSerials.toSeq.sortBy(_._1).foreach { case (f, ss) =>
-      sb.append(f).append('=').append(ss.sorted.mkString(",")).append(';')
+      str(f); sb.append('=').append(ss.sorted.mkString(",")).append(';')
     }
     sb.append('|')
-    stoplist.toSeq.sorted.foreach(s => sb.append(s).append(';'))
+    stoplist.toSeq.sorted.foreach { s => str(s); sb.append(';') }
     sb.append('|')
     closure.toSeq.sortBy(_._1).foreach { case (c, as) =>
       sb.append(c).append('=').append(as.sorted.mkString(",")).append(';')
     }
     sb.append('|')
     serialToCurie.toSeq.sortBy(_._1).foreach { case (s, c) =>
-      sb.append(s).append('=').append(c).append(';')
+      sb.append(s).append('='); str(c); sb.append(';')
     }
     sb.append('|')
     // preferredName feeds the triples' `name` column (TripleEmit via
     // Canonicalize) — a name-only dictionary revision is still a different
     // dictionary for checkpoint purposes
     preferredName.toSeq.sortBy(_._1).foreach { case (c, n) =>
-      sb.append(c).append('=').append(n).append(';')
+      str(c); sb.append('='); str(n); sb.append(';')
     }
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(sb.toString.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString

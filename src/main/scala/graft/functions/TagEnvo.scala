@@ -104,11 +104,21 @@ object TagEnvoMentions {
 }
 
 object GraftFunctions {
-  /** Column-API entry point (auto-registers on the active session — Spark 4
-    * keeps Column↔Expression private, so the public path is the function
-    * registry + call_function). */
-  def tag_envo(c: Column): Column = {
-    register(org.apache.spark.sql.SparkSession.active)
+  /** Column-API entry point. Deliberately does NOT register anything:
+    * `call_function` resolves at ANALYSIS time against the session that owns
+    * the plan, so the function must already be in THAT session's registry —
+    * via [[GraftExtensions]] (every `Sessions.local` session) or an explicit
+    * [[register]]. Registering on `SparkSession.active` here (the old shape)
+    * could mutate a DIFFERENT session's registry when the calling thread's
+    * active session is not the plan's; a missing registration now fails fast
+    * at analysis (UNRESOLVED_ROUTINE) instead of depending on thread state. */
+  def tag_envo(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("tag_envo", c)
+
+  /** Explicit-session variant: registers on the session that will analyze
+    * the plan, then calls. Use from code that owns the session handle. */
+  def tag_envo(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {
+    register(spark)
     org.apache.spark.sql.functions.call_function("tag_envo", c)
   }
 
@@ -123,11 +133,11 @@ object GraftFunctions {
       }, "built-in")
   }
 
-  /** Column-API native dot product (see [[VecDot]]). */
-  def vec_dot(a: Column, b: Column): Column = {
-    register(org.apache.spark.sql.SparkSession.active)
+  /** Column-API native dot product (see [[VecDot]]). Registration-free for
+    * the same reason as [[tag_envo(c*]] — resolves against the plan's
+    * session, which must carry [[GraftExtensions]] or a prior [[register]]. */
+  def vec_dot(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("vec_dot", a, b)
-  }
 
   /** Column-API bounded distinct-min-k aggregate (see [[BoundedMinSet]]).
     * Takes the session EXPLICITLY (like `tag_envo_with`): registering on

@@ -43,7 +43,7 @@ object DimBuild {
 
     val tagged = cut
       .groupBy("source").agg(min("row_order").as("first_seen"))
-      .withColumn("mentions", GraftFunctions.tag_envo(col("source")))
+      .withColumn("mentions", GraftFunctions.tag_envo(spark, col("source")))
       .filter(size(col("mentions")) > 0)
       // the reference's envos blob: ENVO ints flattened across matches in
       // document order (add_tagger_results.py:127-129)

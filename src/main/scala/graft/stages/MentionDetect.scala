@@ -57,7 +57,7 @@ object MentionDetect {
       c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     dict match {
       case Some(bc) => graft.functions.GraftFunctions.tag_envo_with(spark, bc, c)
-      case None => graft.functions.GraftFunctions.tag_envo(c)
+      case None => graft.functions.GraftFunctions.tag_envo(spark, c)
     }
 
   private def detectDistinct(spark: SparkSession, turns: DataFrame,

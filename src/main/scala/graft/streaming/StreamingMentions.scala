@@ -17,11 +17,14 @@ final case class StreamMention(
 /** Running per-conversation concept count emitted by the stateful scorer. */
 final case class ConvConceptCount(conv_id: String, envo: Int, occurrences: Long)
 
-/** One document arriving on the curation stream. `ts` is carried through
-  * for sinks/audit; `nearDupStream` matching and state ageout are
-  * PROCESSING-time only (no watermark — event time does not affect which
-  * pairs match). */
+/** One document arriving on the curation stream. `ts` is the event time:
+  * `nearDupStream` matching is time-agnostic, but state AGEOUT can be
+  * driven by it (eventTimeAgeout) instead of processing time. */
 final case class StreamDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
+/** One (bucket, doc) visit on the near-dup stream — the exploded 4-chunk
+  * banding of a doc's simhash, carrying event time for the watermark. */
+final case class BucketDoc(bucket: String, doc_id: Long, sh: Long, ts: java.sql.Timestamp)
 
 /** A streaming near-dup match: `doc_id` arrived within `hamming` bits of
   * the earlier-seen `dup_of`. */
@@ -121,32 +124,57 @@ object StreamingMentions {
     * against everything currently in state, never silently dropped; what
     * degrades is recall against evicted history, which the counter
     * quantifies. The banding bounds comparisons per arrival to the 4
-    * visited buckets, never the corpus. Pass `stateTimeout = None` in
-    * tests — ProcessingTimeTimeout livelocks `processAllAvailable`. */
+    * visited buckets, never the corpus.
+    *
+    * Ageout mode: `stateTimeout` (processing time, the default) fits LIVE
+    * topics, but replaying a historical backlog fast-forwards EVENT time
+    * while processing time barely advances — a processing-time timeout then
+    * holds the entire backlog in state regardless of the "1 hour" intent.
+    * `eventTimeAgeout = Some(d)` switches to an event-time timeout: the
+    * input is watermarked on `ts` (allowing `lateness` of skew, like
+    * `dedupStream`) and a bucket expires once the watermark passes `d` past
+    * the newest event it has seen — replay ageout then tracks the DATA's
+    * clock. Takes precedence over `stateTimeout` when both are set.
+    * Pass `stateTimeout = None` (and no eventTimeAgeout) in tests —
+    * ProcessingTimeTimeout livelocks `processAllAvailable`. */
   def nearDupStream(spark: SparkSession, docs: Dataset[StreamDoc],
                     maxHamming: Int = 12,
                     stateTimeout: Option[String] = Some("1 hour"),
                     maxDocsPerBucket: Int = 100000,
-                    overflow: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[NearDupHit] = {
+                    overflow: Option[org.apache.spark.util.LongAccumulator] = None,
+                    eventTimeAgeout: Option[String] = None,
+                    lateness: String = "10 minutes"): Dataset[NearDupHit] = {
     import spark.implicits._
-    val timeoutConf = stateTimeout
-      .map(_ => GroupStateTimeout.ProcessingTimeTimeout())
-      .getOrElse(GroupStateTimeout.NoTimeout())
-    val keyed: Dataset[(String, Long, Long)] = docs.mapPartitions { iter =>
-      iter.flatMap { d =>
-        val toks = graft.ops.DocOps.tokenize(d.text)
-        // batch parity: d8 explodes the token array, so a token-less doc
-        // emits no rows and never enters the candidate space — mirror that
-        // here (signature-0 docs would otherwise all match each other at
-        // hamming 0 in every bucket)
-        if (toks.isEmpty) Iterator.empty
-        else {
-          val sh = graft.ops.DocOps.simhash60Toks(toks)
-          (0 until 4).iterator.map(c => (s"$c:${(sh >> (c * 15)) & 32767L}", d.doc_id, sh))
-        }
+    // a cap of 0 would evict each doc immediately after insertion (state
+    // thrashes one-in-one-out, overflow on every arrival) — reject loudly
+    require(maxDocsPerBucket >= 1,
+      s"maxDocsPerBucket must be >= 1 (got $maxDocsPerBucket)")
+    val timeoutConf =
+      if (eventTimeAgeout.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else stateTimeout
+        .map(_ => GroupStateTimeout.ProcessingTimeTimeout())
+        .getOrElse(GroupStateTimeout.NoTimeout())
+    val keyed0: Dataset[BucketDoc] = docs.flatMap { d =>
+      val toks = graft.ops.DocOps.tokenize(d.text)
+      // batch parity: d8 explodes the token array, so a token-less doc
+      // emits no rows and never enters the candidate space — mirror that
+      // here (signature-0 docs would otherwise all match each other at
+      // hamming 0 in every bucket)
+      if (toks.isEmpty) Iterator.empty
+      else {
+        val sh = graft.ops.DocOps.simhash60Toks(toks)
+        (0 until 4).iterator.map(c =>
+          BucketDoc(s"$c:${(sh >> (c * 15)) & 32767L}", d.doc_id, sh, d.ts))
       }
     }
-    keyed.groupByKey(_._1)
+    // EventTimeTimeout requires a watermark; defining it on the exploded
+    // bucket rows (not the raw docs) keeps the event-time column attribute
+    // attached to the dataset the stateful operator actually consumes
+    val keyed = eventTimeAgeout match {
+      case Some(_) => keyed0.withWatermark("ts", lateness)
+      case None => keyed0
+    }
+    keyed.groupByKey(_.bucket)
       .flatMapGroupsWithState[BucketState, NearDupHit](
         OutputMode.Update(), timeoutConf) {
         (_, rows, state) =>
@@ -160,9 +188,12 @@ object StreamingMentions {
             val st = state.getOption.getOrElse(BucketState(Map.empty, Vector.empty))
             var seen = st.seen
             var order = st.order.toVector
+            var maxTsMs = Long.MinValue
             val out = List.newBuilder[NearDupHit]
             // deterministic within a batch: smaller doc_ids are "earlier"
-            rows.toSeq.sortBy(_._2).foreach { case (_, id, sh) =>
+            rows.toSeq.sortBy(_.doc_id).foreach { r =>
+              val (id, sh) = (r.doc_id, r.sh)
+              if (r.ts != null) maxTsMs = math.max(maxTsMs, r.ts.getTime)
               if (!seen.contains(id)) {
                 seen.foreach { case (pid, psh) =>
                   val ham = java.lang.Long.bitCount(psh ^ sh)
@@ -178,7 +209,17 @@ object StreamingMentions {
               }
             }
             state.update(BucketState(seen, order))
-            stateTimeout.foreach(state.setTimeoutDuration)
+            eventTimeAgeout match {
+              case Some(d) =>
+                // expire `d` of EVENT time past the newest event seen by
+                // this bucket; clamped above the current watermark (Spark
+                // rejects a timeout at-or-before it) so a bucket touched
+                // only by late stragglers still gets a valid ageout
+                val base = math.max(maxTsMs, state.getCurrentWatermarkMs() + 1L)
+                state.setTimeoutTimestamp(base, d)
+              case None =>
+                stateTimeout.foreach(state.setTimeoutDuration)
+            }
             out.result().iterator
           }
       }

@@ -57,8 +57,13 @@ object CurateCli {
     val corpus = DocOps.curationFrame(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val funnel = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    // stage frames are persisted (each feeds the next stage's semi-join AND
+    // its own count) but must not outlive the run — handles retained here,
+    // unpersisted after the chunks write (CurateSpec asserts none remain)
+    val stageFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def stage(name: String, kept: DataFrame): DataFrame = {
       val k = kept.persist()
+      stageFrames += k
       funnel += name -> k.count()
       k
     }
@@ -112,6 +117,7 @@ object CurateCli {
     chunks.write.mode("overwrite").parquet(s"$outDir/chunks")
     funnel += "chunks" -> spark.read.parquet(s"$outDir/chunks").count()
     corpus.unpersist()
+    stageFrames.foreach(_.unpersist())
 
     import spark.implicits._
     funnel.toSeq.zipWithIndex

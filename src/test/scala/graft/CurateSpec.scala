@@ -28,6 +28,20 @@ class CurateSpec extends SparkSpec {
     val f2 = CurateCli.run(spark, dir, out2)
     assert(f1 === f2, "funnel must be rerun-deterministic")
 
+    // no funnel cache outlives the run: lookup by canonicalized plan — if
+    // run() leaked the corpus, a stage frame (input = corpus.select), or
+    // the signal frame, these rebuilt twins would still hit the cache
+    import graft.ops.DocOps
+    val cm = spark.sharedState.cacheManager
+    val corpusTwin = DocOps.curationFrame(spark, dir)
+    def cached(df: org.apache.spark.sql.DataFrame) =
+      cm.lookupCachedData(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+    assert(cached(corpusTwin).isEmpty, "corpus frame leaked")
+    assert(cached(corpusTwin.select("doc_id")).isEmpty,
+      "funnel stage frame leaked")
+    assert(cached(DocOps.gateSignalsOf(corpusTwin)).isEmpty,
+      "gate-signal frame leaked")
+
     // surviving chunks reference only surviving docs
     val chunkDocs = spark.read.parquet(s"$out1/chunks")
       .select("doc_id").distinct().count()

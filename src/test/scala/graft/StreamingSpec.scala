@@ -199,6 +199,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup event-time ageout: backlog replay expires buckets by the DATA's clock") {
+    import graft.streaming.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    // Replaying a historical backlog fast-forwards EVENT time while
+    // processing time barely advances — a processing-time timeout would
+    // hold the whole backlog in state. With eventTimeAgeout, a bucket
+    // expires once the watermark passes 1h beyond its newest event, so the
+    // replay ages out state exactly as the live run would have.
+    val input = MemoryStream[StreamDoc]
+    val hits = StreamingMentions.nearDupStream(spark, input.toDS(),
+      maxHamming = 12, stateTimeout = None,
+      eventTimeAgeout = Some("1 hour"), lateness = "10 minutes")
+    val q = hits.writeStream.format("memory").queryName("neardup_et")
+      .outputMode("update").start()
+    try {
+      val t0 = 1735689600000L
+      def doc(id: Long, text: String, tsMin: Long) =
+        StreamDoc(id, text, new Timestamp(t0 + tsMin * 60000L))
+      val x = "the shared boilerplate paragraph that would otherwise match across the entire replayed backlog"
+      input.addData(doc(1, x, 0)) // enters state; ageout due at event time +1h
+      q.processAllAvailable()
+      // two filler batches push the watermark hours past doc 1's ageout
+      input.addData(doc(2, "an unrelated progress report on shuffle partition tuning and adaptive planning", 180))
+      q.processAllAvailable()
+      input.addData(doc(3, "different filler prose about broadcast thresholds and codegen fusion spans", 360))
+      q.processAllAvailable() // watermark ~5h50m > doc 1's 1h ageout -> bucket expired
+      input.addData(doc(4, x, 370)) // same text as doc 1 — must NOT match aged-out state
+      q.processAllAvailable()
+      input.addData(doc(5, x, 375)) // within 1h of doc 4 — MUST still match
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, dup_of FROM neardup_et")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!rows.contains((4L, 1L)),
+        s"doc 1 must have aged out by event time before doc 4 arrived: $rows")
+      assert(rows.contains((5L, 4L)),
+        s"doc 5 must still match doc 4 (inside the ageout window): $rows")
+      assert(rows === Set((5L, 4L)), s"unexpected extra hits: $rows")
+    } finally q.stop()
+  }
+
+  test("streaming near-dup rejects a degenerate bucket cap") {
+    import graft.streaming.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    // cap 0 would thrash state one-in-one-out with an overflow per arrival
+    intercept[IllegalArgumentException] {
+      StreamingMentions.nearDupStream(spark, input.toDS(),
+        stateTimeout = None, maxDocsPerBucket = 0)
+    }
+  }
+
   test("streaming near-dup bucket state survives a query RESTART with its eviction order") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.StreamDoc
