@@ -17,21 +17,47 @@ final case class PipelineConfig(
       * then hash-join back (wins on duplicated corpora); false = tag every
       * turn in place with zero shuffles (wins on mostly-unique corpora). */
     dedupeTexts: Boolean = true,
-    /** Share the envo-row projection across triple branches via a
-      * deterministic exchange (repartition by conv_id) instead of a
-      * columnar cache: Spark's ReuseExchange computes the shuffle once and
-      * all branches read it. Shuffle write scales with cores; the columnar
-      * cache build does not. Overrides persistIntermediates for envoRows.
-      * Measured crossover (3.4M turns, allTriples action): 8 cores
-      * exchange 18.5-19.5 s vs cache 20.3-21.2 s; 2 cores exchange
-      * 74-80 s vs cache 70-73 s — prefer the exchange on real multi-core
-      * executors, the cache at low parallelism
-      * (`tools.ProfileKg <turns> <cores> direct e2e` reproduces the A/B). */
-    reuseExchange: Boolean = false)
+    /** HOW the envo-row projection is shared across the triple branches
+      * when persistIntermediates is set:
+      *  - "partcache": repartition(conv_id, shufflePartitions) + columnar
+      *                cache, MATERIALIZED at run() time. Every key in this
+      *                pipeline (scores/evidence aggs, the proportional
+      *                window, the co-occurrence self-join) is prefixed by
+      *                conv_id, and a MATERIALIZED cache exposes its final
+      *                HashPartitioning to consumer planning (an
+      *                unmaterialized one reads as Unknown — probed with
+      *                tools.CachePartProbe), so the whole downstream
+      *                pipeline plans partition-LOCAL: one wide shuffle
+      *                total. The explicit partition count stops AQE from
+      *                coalescing the cached layout below the core count.
+      *  - "cache":    plain columnar cache of the tagger output (no
+      *                repartition, lazy) — consumers shuffle their own
+      *                map-side-combined partials; r1-r4's default.
+      *  - "localckpt": lazy local checkpoint — UnsafeRow blocks, no
+      *                columnar build, but LogicalRDD under AQE loses the
+      *                partitioning, so downstream still shuffles.
+      *  - "exchange": bare repartition(conv_id) — per-branch column
+      *                pruning specializes each exchange copy, so reuse
+      *                does NOT fire and the tagger runs once per branch
+      *                (the r4 measurements that favored this were
+      *                measuring it against an even worse cache shape).
+      *  - "auto":     exchange for fused (flat, un-checkpointed) runs —
+      *                there the scoring branch prunes the shuffle narrow
+      *                and the mention branch re-tags shuffle-free;
+      *                partcache for classic runs, which have several wide
+      *                consumers (`tools.ProfileKg <turns> <cores> direct
+      *                e2e` and tools.PairBench reproduce the A/B). */
+    sharing: String = "auto") {
+  require(Set("auto", "partcache", "cache", "localckpt", "exchange").contains(sharing),
+    s"sharing must be auto|partcache|cache|localckpt|exchange, got $sharing")
+}
 
-/** All pipeline outputs (lazy DataFrames — nothing executes until a sink
-  * action, exactly like the reference's pulled property-DAG,
-  * seqenv/analysis.py:148-159 via seqenv/common/cache.py). */
+/** All pipeline outputs. The frames are lazy DataFrames (the reference's
+  * pulled property-DAG, seqenv/analysis.py:148-159 via
+  * seqenv/common/cache.py) — except that `persistIntermediates` runs
+  * materialize the SHARED intermediates at run() time, so that their
+  * cached partitioning is visible when the sink queries are planned
+  * (see PipelineConfig.sharing). */
 final case class KgResult(
     turnMentions: DataFrame,   // (conv_id, turn_idx, tool, text_hash, mentions)
     mentionRows: DataFrame,    // flattened per-mention rows
@@ -131,26 +157,89 @@ final class KgPipeline(spark: SparkSession, cfg: PipelineConfig = PipelineConfig
     // primitive columns, so the columnar cache build stays cheap (caching
     // the nested mentions array is ~10x slower)
     val envoRows0 = MentionDetect.envoRows(turnMentions0)
+    val fusedApplies = ckpt.isEmpty && LinkScore.supportsFused(cfg.score)
+    val strategy = cfg.sharing match {
+      // Fused runs: "exchange" is the bandwidth-minimal topology — the
+      // scoring branch column-prunes the conv_id repartition down to
+      // (conv_id, envo, turn_idx) before the shuffle, the mention branch
+      // re-tags in a zero-shuffle codegen scan, and no wide columnar cache
+      // is built or decoded (re-tagging inflates least under memory-
+      // bandwidth pressure at high core counts — see BASELINE.md r5).
+      // Classic runs (ui/upui/backtracking/restrict/checkpointed) have
+      // MULTIPLE large consumers of envoRows, so the one-wide-shuffle
+      // partitioned cache wins there.
+      case "auto" => if (fusedApplies) "exchange" else "partcache"
+      case s => s
+    }
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var materializeEnvoRows = false
     val envoRows =
-      if (cfg.reuseExchange)
-        envoRows0.repartition(org.apache.spark.sql.functions.col("conv_id"))
-      else if (cfg.persistIntermediates)
-        envoRows0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else envoRows0
+      if (!cfg.persistIntermediates) envoRows0
+      else strategy match {
+        case "partcache" =>
+          materializeEnvoRows = true
+          envoRows0
+            .repartition(spark.sessionState.conf.numShufflePartitions,
+              org.apache.spark.sql.functions.col("conv_id"))
+            .persist(disk)
+        case "cache" =>
+          envoRows0.persist(disk)
+        case "localckpt" =>
+          envoRows0.localCheckpoint(eager = false)
+        case "exchange" =>
+          envoRows0.repartition(org.apache.spark.sql.functions.col("conv_id"))
+      }
     val mentionRows = MentionDetect.explodeMentions(turnMentions0)
 
-    val scores0 = Checkpoint.stage(spark, ckpt, "scores", fp) {
-      LinkScore.score(spark, envoRows, dict, cfg.score)
-    }
-    val scores =
-      if (cfg.persistIntermediates)
-        scores0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else scores0
+    // Fused path (flat scoring, no checkpointing): ONE aggregation yields
+    // score + evidence together — no second pass over envoRows, no
+    // scores×support join. Checkpointed runs keep the classic stage
+    // boundaries so resume layouts stay config-independent.
+    // partcache: materialize the partitioned cache BEFORE any consumer is
+    // planned — consumer plans then see the cache's final HashPartitioning
+    // (conv_id) and every downstream agg/window/self-join goes local
+    if (materializeEnvoRows) envoRows.count()
 
-    val annotated = Checkpoint.stage(spark, ckpt, "annotated", fp) {
-      TripleEmit.annotatedWith(spark, scores, envoRows, dict, cfg.evidenceCap)
+    val fused: Option[DataFrame] =
+      if (fusedApplies) {
+        val f0 = LinkScore.scoreWithEvidence(spark, envoRows, cfg.score, cfg.evidenceCap)
+        val f = if (cfg.persistIntermediates) f0.persist(disk) else f0
+        // same materialize-before-plan reasoning: the co-occurrence
+        // self-join goes exchange-free only when the cached fused frame's
+        // conv_id partitioning is visible at planning time — true for
+        // every strategy (the window always leaves it conv_id-partitioned)
+        if (cfg.persistIntermediates) f.count()
+        Some(f)
+      } else None
+
+    val scores = fused match {
+      case Some(f) =>
+        f.select(org.apache.spark.sql.functions.col("conv_id"),
+          org.apache.spark.sql.functions.col("envo"),
+          org.apache.spark.sql.functions.col("score"))
+      case None =>
+        val scores0 = Checkpoint.stage(spark, ckpt, "scores", fp) {
+          LinkScore.score(spark, envoRows, dict, cfg.score)
+        }
+        if (cfg.persistIntermediates)
+          scores0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else scores0
     }
-    val mentionTriples = TripleEmit.mentionTriples(spark, envoRows, dict)
+
+    val annotated = fused match {
+      case Some(f) => TripleEmit.annotatedFromFused(spark, f, dict)
+      case None => Checkpoint.stage(spark, ckpt, "annotated", fp) {
+        TripleEmit.annotatedWith(spark, scores, envoRows, dict, cfg.evidenceCap)
+      }
+    }
+    // The mention branch is a pure projection — it needs no partitioning.
+    // Under "exchange" sharing its copy of the repartition would be pruned
+    // differently from the scoring copy (so nothing is reused) AND would
+    // shuffle the full-width rows for no benefit: re-tagging directly is a
+    // zero-shuffle codegen scan, strictly cheaper. Cache-family strategies
+    // DO give this branch a free ride, so they keep the shared frame.
+    val mentionSource = if (strategy == "exchange") envoRows0 else envoRows
+    val mentionTriples = TripleEmit.mentionTriples(spark, mentionSource, dict)
     val cooc = Checkpoint.stage(spark, ckpt, "cooccurrence", fp) {
       // scores is a (conv_id, envo) groupBy output — provably distinct
       TripleEmit.coOccurrence(scores, assumeDistinct = true)

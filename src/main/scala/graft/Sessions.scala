@@ -11,6 +11,13 @@ object Sessions {
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // keep cached plans' output partitioning VISIBLE to consumers: with
+      // this true (the Spark 4 default) every InMemoryRelation is wrapped
+      // in an un-finalized AdaptiveSparkPlan whose partitioning reads as
+      // Unknown, so consumers of a cached frame re-shuffle data that is
+      // already correctly partitioned (measured: the scores cache was
+      // re-exchanged by every one of its three consumers)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // shuffle/spill on tmpfs: the sandbox analog of cluster-grade NVMe

@@ -121,6 +121,56 @@ object LinkScore {
     }
   }
 
+  /** Fused flat scoring + evidence: ONE aggregation over envoRows computes
+    * the occurrence count, the distinct supporting-turn count (A10), and
+    * the bounded turn sample together, so the pipeline's annotated_with
+    * branch needs neither a second full pass over the occurrence rows nor
+    * the scores×support join-back (measured: that join was a SortMergeJoin
+    * re-shuffling both sides at the bench corpus). Only valid when the
+    * score transform neither adds keys (backtracking) nor removes them
+    * (restrict) and scores every raw occurrence (flat) — then the fused
+    * output is row-identical to score() joined with the evidence agg.
+    *
+    * output: (conv_id, envo:int, score:double, n_turns:long,
+    * turn_sample:array<int>) */
+  def scoreWithEvidence(spark: SparkSession, envoRows: DataFrame,
+                        cfg: ScoreConfig, evidenceCap: Int): DataFrame = {
+    require(supportsFused(cfg), s"fused scoring requires flat/no-backtracking/no-restrict, got $cfg")
+    // Explicit two-level shape instead of countDistinct: mixing a distinct
+    // agg with bounded_min_set makes Spark evaluate EVERY agg at the
+    // distinct-key grain through non-codegen ObjectHashAggregate passes
+    // plus an extra (conv, envo, turn) exchange (measured +60% pipeline
+    // CPU). Level 1 collapses to distinct turns with a codegen'd count;
+    // level 2 derives occ (sum), n_turns (count of distinct-turn rows) and
+    // the bounded turn sample (distinct-min-k — identical on deduped
+    // input). Under a conv_id-partitioned input BOTH levels plan
+    // partition-local (every grouping key is conv_id-prefixed).
+    val perTurn = envoRows
+      .select(col("conv_id"), col("envo"), col("turn_idx"))
+      .groupBy("conv_id", "envo", "turn_idx")
+      .agg(count(lit(1)).as("occ_t"))
+    val agg = perTurn
+      .groupBy("conv_id", "envo")
+      .agg(
+        sum("occ_t").as("occ"),
+        count(lit(1)).as("n_turns"),
+        graft.functions.GraftFunctions.bounded_min_set(spark, col("turn_idx"), evidenceCap)
+          .as("turn_sample"))
+    val score =
+      if (cfg.proportional) {
+        // same bounded window-sum as score() — ≤|EnvO| rows per conv
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("conv_id")
+        col("occ").cast("double") / sum("occ").over(w)
+      } else col("occ").cast("double")
+    agg.select(col("conv_id"), col("envo"), score.as("score"),
+      col("n_turns"), col("turn_sample"))
+  }
+
+  /** Whether `scoreWithEvidence` computes the same rows as score() + the
+    * evidence agg for this config. */
+  def supportsFused(cfg: ScoreConfig): Boolean =
+    cfg.normalization == "flat" && !cfg.backtracking && cfg.restrict.isEmpty
+
   /** The ancestor-closure dim as a tiny broadcastable DataFrame
     * (child:int, ancestor:int) — 9536 rows from envo_groups.tsv. */
   def closureFrame(spark: SparkSession, dict: EnvoDict): DataFrame = {

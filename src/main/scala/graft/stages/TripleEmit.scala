@@ -70,6 +70,23 @@ object TripleEmit {
         col("turn_sample"))
   }
 
+  /** annotated_with triples from the FUSED score+evidence frame
+    * (LinkScore.scoreWithEvidence) — same columns and rows as
+    * annotatedWith for every config the fused scorer supports: flat
+    * scoring makes the scores and support key sets identical, so the
+    * classic left join degenerates to this projection and n_turns is
+    * never NULL. */
+  def annotatedFromFused(spark: SparkSession, fused: DataFrame, dict: EnvoDict): DataFrame =
+    Canonicalize.canonicalize(spark, fused, dict)
+      .select(
+        col("conv_id").as("subj"),
+        lit(PredAnnotated).as("pred"),
+        col("curie").as("obj"),
+        col("score").as("weight"),
+        col("n_turns").as("evidence"),
+        col("name"),
+        col("turn_sample"))
+
   /** envo-occurrence rows -> one `mentions` triple per (turn, concept). */
   def mentionTriples(spark: SparkSession, envoRows: DataFrame, dict: EnvoDict): DataFrame =
     Canonicalize.canonicalize(
