@@ -257,12 +257,12 @@ object SparkEntry {
       graft.stages.Abundance.projectToSamples(scores, abundance)
         .orderBy("envo", "sample")
     }),
-    // --- multimodal plumbing. m1/m3 run over the doc-derived media table:
-    //     the REAL batch plumbing executes (mapPartitions decode for m1,
-    //     typed flatMap frame extraction for m3) while the projected output
-    //     columns are deterministic functions of the corpus — so both sit
-    //     under the DuckDB gate. m5's stub-decoder cosines stay rows-only
-    //     (hash-chain floats are not SQL-expressible). ---
+    // --- multimodal plumbing. m1/m3/m5 run over the doc-derived media
+    //     table: the REAL batch plumbing executes (mapPartitions decode,
+    //     typed flatMap frame extraction, LSH bucket near-dup) while the
+    //     projected output columns are deterministic functions of the
+    //     corpus — so all sit under the DuckDB gate (the stub decoder's
+    //     md5-integer features are SQL-expressible since r5). ---
     "m1_media_features" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       import s.implicits._
@@ -287,9 +287,24 @@ object SparkEntry {
           MultimodalOps.mediaFromDocs(s, d).as[MultimodalOps.MediaRow])
         .groupBy("media_id").agg(count(lit(1)).as("n_frames")).orderBy("media_id")
     }),
-    "m5_feature_neardup" -> ((s, _) =>
-      MultimodalOps.featureNearDup(s,
-        MultimodalOps.extractFeatures(s, MultimodalOps.synthMedia(s, 500)))),
+    // m5 over the doc-derived media table with the m2 duplicate-payload
+    // injection (every 17th payload replaced by one fixed marker) so the
+    // near-dup LSH path has real work: duplicate same-kind payloads embed
+    // identically and must surface with cosine 1.0. The plan stays the
+    // LSH bucket equi-join (PlanShapeSpec: no CartesianProduct); the
+    // oracle recomputes features + buckets + cosines from the parquet.
+    "m5_feature_neardup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val media = MultimodalOps.mediaFromDocs(s, d)
+        .withColumn("bytes",
+          when(pmod(col("media_id"), lit(17)) === 0,
+            lit("DUP PAYLOAD").cast("binary")).otherwise(col("bytes")))
+        .as[MultimodalOps.MediaRow]
+      MultimodalOps.featureNearDup(s, MultimodalOps.extractFeatures(s, media))
+        .select(col("media_a"), col("media_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("media_a", "media_b")
+    }),
     // m4 over the doc-derived media table — corrupt four deterministic
     // slices (bad dims, bad duration, off-whitelist rate, NULL metadata)
     // so every reject branch fires; all injections mirrored in the oracle
@@ -1342,5 +1357,41 @@ object SparkEntry {
         |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM co)
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // m5: stub-decoder features recomputed from the corpus — component d =
+    // ('0x'||substr(md5(kind:payload:d),1,15))::BIGINT % 31 - 15, exactly
+    // the Scala StubDecoder (integer-valued, so every product/sum below is
+    // exact); then the SAME 4-table × 8-plane sign-bucket LSH as the
+    // engine (planes as literal VALUES), hand-rolled double cosine as e2
+    "m5_feature_neardup" ->
+      s"""WITH m AS (SELECT doc_id AS media_id,
+       |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       |    CASE WHEN doc_id % 17 = 0 THEN 'DUP PAYLOAD' ELSE text END AS payload
+       |  FROM documents),
+       |f AS (SELECT media_id,
+       |    [CAST(('0x' || substr(md5(kind || ':' || payload || ':' || CAST(d AS VARCHAR)), 1, 15))::BIGINT % 31 - 15 AS DOUBLE)
+       |     for d in range(0, 16)] AS feature
+       |  FROM m),
+       |planes(tbl, plane, comps) AS (VALUES
+       |${lshPlaneValues(nTables = 4, nPlanes = 8, dim = 16)}),
+       |sgn AS (SELECT f.media_id, p.tbl, p.plane,
+       |  CASE WHEN list_aggregate([f.feature[i] * p.comps[i]
+       |                            for i in range(1, 17)], 'sum') >= 0
+       |       THEN '1' ELSE '0' END AS s
+       |  FROM f, planes p),
+       |b AS (SELECT media_id,
+       |    't' || CAST(tbl AS VARCHAR) || ':' || string_agg(s, '' ORDER BY plane) AS bucket
+       |  FROM sgn GROUP BY media_id, tbl),
+       |cand AS (SELECT DISTINCT a.media_id AS media_a, b2.media_id AS media_b
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.media_id < b2.media_id),
+       |n AS (SELECT media_id, feature,
+       |    sqrt(list_aggregate([feature[i] * feature[i] for i in range(1, 17)], 'sum')) AS nrm
+       |  FROM f),
+       |p AS (SELECT c.media_a, c.media_b,
+       |  CASE WHEN fa.nrm > 0 AND fb.nrm > 0 THEN
+       |    list_aggregate([fa.feature[i] * fb.feature[i] for i in range(1, 17)], 'sum')
+       |      / (fa.nrm * fb.nrm) END AS cosine
+       |  FROM cand c JOIN n fa ON fa.media_id = c.media_a JOIN n fb ON fb.media_id = c.media_b)
+       |SELECT media_a, media_b, round(cosine, 6) AS cosine FROM p
+       |WHERE cosine >= 0.999 ORDER BY media_a, media_b""".stripMargin)
 }

@@ -40,21 +40,29 @@ object MultimodalOps {
     def decodeAndEmbed(kind: String, bytes: Array[Byte]): Array[Float]
   }
 
-  /** STUB decoder — deterministic fake: hash-chain over the payload bytes
-    * folded into `dim` floats in [-1, 1). NOT a real decoder. */
+  /** STUB decoder — deterministic fake, NOT a real decoder. Component d =
+    * (md5("kind:payload:d") first 15 hex chars as int) % 31 − 15: small
+    * INTEGER-valued floats, so every cosine downstream is exact integer
+    * arithmetic until the final sqrt/divide (no float-vs-double rounding
+    * to diverge an oracle), and the whole embedding is mirrorable in SQL
+    * as `('0x' || substr(md5(...),1,15))::BIGINT % 31 - 15` — the same
+    * 60-bit hash trick as the d8 simhash oracle. `kind` stays folded in:
+    * equal payloads of different kinds embed differently, like a real
+    * modality-specific model would. */
   final class StubDecoder(val dim: Int = 16) extends MediaDecoder {
+    private val colon = ":".getBytes("UTF-8")
     def decodeAndEmbed(kind: String, bytes: Array[Byte]): Array[Float] = {
-      val out = new Array[Float](dim)
-      var h = 1125899906842597L ^ kind.hashCode.toLong
-      var i = 0
-      while (i < bytes.length) { h = h * 31 + bytes(i); i += 1 }
-      var d = 0
-      while (d < dim) {
-        h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
-        out(d) = ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat * 2f - 1f
-        d += 1
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val kindBytes = kind.getBytes("UTF-8")
+      Array.tabulate(dim) { d =>
+        md.reset()
+        md.update(kindBytes); md.update(colon)
+        md.update(bytes); md.update(colon)
+        md.update(String.valueOf(d).getBytes("UTF-8"))
+        val hex = md.digest().take(8).map(b => f"${b & 0xff}%02x").mkString
+        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        ((h % 31) - 15).toFloat
       }
-      out
     }
   }
 
