@@ -64,6 +64,9 @@ object SparkEntry {
     "d14_pii_scrub" -> ((s, d) => DocOps.scrubPii(s, d)),
     "d15_repetition_signals" -> ((s, d) => DocOps.repetitionSignals(s, d)),
     "d16_corpus_report" -> ((s, d) => DocOps.corpusReport(s, d)),
+    // dfCap 5 (not the production-default 50) so the strip provably bites
+    // on the synthetic corpus at every SF — mirrored in the oracle
+    "d17_boilerplate_strip" -> ((s, d) => DocOps.stripBoilerplate(s, d, dfCap = 5)),
     // d9 consumes d6's (oracle-expressible) Jaccard pairs so the full
     // pairs→clusters path is DuckDB-checked (recursive CTE); the SimHash
     // pair source remains covered by ComponentsSpec.
@@ -770,6 +773,26 @@ object SparkEntry {
         |  FROM t WHERE len(toks) >= 3)
         |SELECT g, count(*) AS df FROM g GROUP BY 1
         |ORDER BY df DESC, g ASC LIMIT 20""".stripMargin,
+    "d17_boilerplate_strip" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |w AS (SELECT doc_id, i AS s, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+        |  FROM t, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+        |  WHERE len(toks) >= 3),
+        |dfs AS (SELECT g, count(*) AS df FROM (SELECT DISTINCT doc_id, g FROM w) GROUP BY g),
+        |stop AS (SELECT g FROM dfs WHERE df > 5),
+        |bad AS (SELECT doc_id, list(s ORDER BY s) AS bs FROM (
+        |    SELECT DISTINCT w.doc_id, w.s FROM w JOIN stop USING (g)) GROUP BY doc_id),
+        |k AS (SELECT t.doc_id, len(t.toks) AS n_tokens,
+        |  CASE WHEN b.bs IS NULL THEN t.toks
+        |       ELSE list_filter(t.toks, (tok, p) -> NOT (list_contains(b.bs, p)
+        |         OR list_contains(b.bs, p - 1) OR list_contains(b.bs, p - 2)))
+        |  END AS kept
+        |  FROM t LEFT JOIN bad b USING (doc_id))
+        |SELECT doc_id, n_tokens, len(kept) AS n_kept,
+        |  array_to_string(kept, ' ') AS stripped_text
+        |FROM k ORDER BY doc_id""".stripMargin,
     "d11_chunking" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks

@@ -299,6 +299,62 @@ object DocOps {
       .orderBy(col("df").desc, col("g").asc)
       .limit(topN)
 
+  /** d17 — boilerplate-strip: REMOVE the spans of high-document-frequency
+    * shingles from each document's token stream (RefinedWeb/Gopher-style
+    * boilerplate removal) — the transform the d10 report implies. A token
+    * is dropped iff ANY 3-gram window containing it is a stop-shingle
+    * (document frequency > dfCap, the same df table as d10/the d6-d7 cap).
+    *
+    * Scale shape: the stop set is tiny by Zipf construction → broadcast
+    * blocklist; the hit join emits only (doc_id, window_start) scalars;
+    * per-doc covered-start sets are bounded by the doc's own window count
+    * (the toks array is O(len) per row already); the final token filter is
+    * row-local. One shuffle on doc_id for the hit aggregation.
+    * Output: (doc_id, n_tokens, n_kept, stripped_text) — deterministic,
+    * mirrored 1:1 by the DuckDB oracle (list_filter with index lambda). */
+  def stripBoilerplate(spark: SparkSession, dir: String, dfCap: Int = 50): DataFrame =
+    stripBoilerplateOf(curationFrame(spark, dir), dfCap)
+
+  private[graft] def stripBoilerplateOf(df: DataFrame, dfCap: Int): DataFrame =
+    strippedKeptOf(df, dfCap)
+      .select(col("doc_id"), col("n_tokens"), size(col("kept")).as("n_kept"),
+        concat_ws(" ", col("kept")).as("stripped_text"))
+      .orderBy("doc_id")
+
+  /** The stripped corpus as a (doc_id, toks) frame — what the curation
+    * funnel chunks after its d17 stage. */
+  private[graft] def strippedToksOf(df: DataFrame, dfCap: Int): DataFrame =
+    strippedKeptOf(df, dfCap).select(col("doc_id"), col("kept").as("toks"))
+
+  private def strippedKeptOf(df: DataFrame, dfCap: Int): DataFrame = {
+    // position-annotated windows (NOT distinct — coverage needs every
+    // occurrence); w0 is 0-based, start s = w0 + 1 matches the 1-based
+    // element_at convention of the shingle column
+    val winRows = df
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))"))
+        .as(Seq("w0", "g")))
+    // the d10 df table: distinct docs per shingle
+    val stop = shinglesOf(df)
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("g")
+    val bad = winRows
+      .join(broadcast(stop), Seq("g"))
+      .select(col("doc_id"), (col("w0") + 1).as("s"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("s"))).as("bad_starts"))
+    df.join(bad, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        when(col("bad_starts").isNull, col("toks")).otherwise(
+          // token at 0-based lambda index i (1-based position p = i+1) is
+          // covered iff a stop window starts at p, p-1, or p-2
+          expr("filter(toks, (t, i) -> NOT (array_contains(bad_starts, i + 1) " +
+            "OR array_contains(bad_starts, i) OR array_contains(bad_starts, i - 1)))"))
+          .as("kept"))
+  }
+
   /** Context-window chunking: split each document into fixed-size token
     * windows with `overlap` tokens of context carry-over — the packing
     * primitive a training pipeline runs before tokenization. Pure

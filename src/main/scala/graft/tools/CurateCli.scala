@@ -18,6 +18,8 @@ import graft.ops.{Components, DocOps}
  *     → quality gate       (d3: composite score ≥ threshold)
  *     → language gate      (d4: identified language only)
  *     → stratified sample  (d12: deterministic per-language keep rate)
+ *     → boilerplate strip  (d17: high-df shingle spans removed from the
+ *                           token stream; all-boilerplate docs drop out)
  *     → chunking           (d11: fixed-token windows with overlap)
  *
  * Prints one funnel line per stage (stage, rows kept) — no silent drops —
@@ -46,7 +48,10 @@ object CurateCli {
       sampleEn: Double = 0.25,
       benchmarkN: Long = 20,
       chunkTokens: Int = 50,
-      overlap: Int = 10)
+      overlap: Int = 10,
+      /** d17 stop-shingle document-frequency cap. 5 bites on the synthetic
+        * corpus; production corpora want the operator default (50+). */
+      stripDfCap: Int = 5)
 
   /** Runs the funnel; returns (stage, rowsKept) in order and writes
     * chunks + funnel to outDir. */
@@ -111,9 +116,17 @@ object CurateCli {
         Seq("doc_id"), "left_semi"))
     signals.unpersist()
 
-    // d11: chunk the survivors
-    val chunks = DocOps.chunkDocsOf(corpus, cfg.chunkTokens, cfg.overlap)
+    // d17: strip high-df boilerplate spans from the survivors' token
+    // streams (df table over the WHOLE corpus, like decontamination);
+    // docs reduced to nothing but boilerplate drop out of the funnel here
+    val strippedSurvivors = DocOps.strippedToksOf(corpus, cfg.stripDfCap)
       .join(sampled, Seq("doc_id"), "left_semi")
+    val stripKept = stage("boilerplate_strip",
+      strippedSurvivors.filter(size(col("toks")) > 0).select("doc_id"))
+
+    // d11: chunk the stripped survivors
+    val chunks = DocOps.chunkDocsOf(strippedSurvivors, cfg.chunkTokens, cfg.overlap)
+      .join(stripKept, Seq("doc_id"), "left_semi")
     chunks.write.mode("overwrite").parquet(s"$outDir/chunks")
     funnel += "chunks" -> spark.read.parquet(s"$outDir/chunks").count()
     corpus.unpersist()
@@ -140,7 +153,8 @@ object CurateCli {
       sampleEn = a.getOrElse("sample_en", "0.25").toDouble,
       benchmarkN = a.getOrElse("benchmark_n", "20").toLong,
       chunkTokens = a.getOrElse("chunk_tokens", "50").toInt,
-      overlap = a.getOrElse("overlap", "10").toInt)
+      overlap = a.getOrElse("overlap", "10").toInt,
+      stripDfCap = a.getOrElse("strip_df_cap", "5").toInt)
     val spark = Sessions.local(a.getOrElse("num_threads", "8").toInt, appName = "graft-curate")
     val funnel = run(spark, a("docs_dir"), a("out_dir"), cfg)
     funnel.foreach { case (s, n) => println(f"[curate] $s%-18s $n%9d") }

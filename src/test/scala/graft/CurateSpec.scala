@@ -12,7 +12,7 @@ class CurateSpec extends SparkSpec {
     val f1 = CurateCli.run(spark, dir, out1)
     val stages = f1.map(_._1)
     assert(stages === Seq("input", "exact_dedup", "near_dedup", "decontaminate",
-      "quality_gate", "lang_gate", "stratified_sample", "chunks"))
+      "quality_gate", "lang_gate", "stratified_sample", "boilerplate_strip", "chunks"))
     // doc-id stages only (chunking legitimately multiplies rows)
     val docStages = f1.dropRight(1).map(_._2)
     assert(docStages === docStages.zip(docStages.head +: docStages).map(x => math.min(x._1, x._2)),
@@ -42,10 +42,10 @@ class CurateSpec extends SparkSpec {
     assert(cached(DocOps.gateSignalsOf(corpusTwin)).isEmpty,
       "gate-signal frame leaked")
 
-    // surviving chunks reference only surviving docs
+    // surviving chunks reference only post-strip surviving docs
     val chunkDocs = spark.read.parquet(s"$out1/chunks")
       .select("doc_id").distinct().count()
-    assert(chunkDocs === f1(6)._2)
+    assert(chunkDocs === f1(7)._2)
   }
 
   test("gate signals: one corpus scan serves all three projection gates") {
@@ -95,6 +95,7 @@ class CurateSpec extends SparkSpec {
         "near_dup_pairs" -> DocOps.minhashLshPairsOf(DocOps.shinglesOf(corpus)),
         "decontaminate" -> DocOps.decontaminateOf(DocOps.shinglesOf(corpus), 20, 3),
         "gate_signals" -> DocOps.gateSignalsOf(corpus),
+        "boilerplate_strip" -> DocOps.strippedToksOf(corpus, 5),
         "chunks" -> DocOps.chunkDocsOf(corpus, 50, 10))
       // AdaptiveSparkPlanExec is itself a LeafExecNode — descend into its
       // current plan or the leaf check never sees the real scans

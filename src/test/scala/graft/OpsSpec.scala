@@ -425,6 +425,32 @@ class OpsSpec extends SparkSpec {
     assert(capped.isEmpty, s"df cap must drop boilerplate-only pairs, got ${capped.length}")
   }
 
+  test("boilerplate strip removes exactly the covered spans, keeps clean text") {
+    import spark.implicits._
+    import graft.ops.DocOps
+    val dir = java.nio.file.Files.createTempDirectory("graft-strip").toString
+    Seq(
+      (0L, "x alpha beta gamma y", "en"),
+      (1L, "alpha beta gamma", "en"),
+      (2L, "p q alpha beta gamma", "en"),
+      (3L, "alpha beta gamma alpha beta gamma", "en"),
+      (4L, "hello world entirely clean here", "en"),
+      (5L, "so alpha beta gamma", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // "alpha beta gamma" occurs in 5 docs > cap 3 -> stop-shingle; every
+    // token covered by one of its windows is dropped, nothing else
+    val rows = DocOps.stripBoilerplate(spark, dir, dfCap = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(rows(0L) === ((5, 2, "x y")))
+    assert(rows(1L) === ((3, 0, "")))
+    assert(rows(2L) === ((5, 2, "p q")))
+    // doc 3: stop windows start at 1 and 4, covering all six positions
+    assert(rows(3L) === ((6, 0, "")))
+    assert(rows(4L) === ((5, 5, "hello world entirely clean here")))
+    assert(rows(5L) === ((4, 1, "so")))
+  }
+
   test("exact dedup: every group keeps its minimum doc_id") {
     val d = DocOps.exactDedup(spark, dir)
     assert(d.count() > 0)
