@@ -230,6 +230,37 @@ object SparkEntry {
       restrictedPipeline(s, d).allTriples
         .orderBy("subj", "pred", "obj", "weight", "evidence")
     }),
+    // O13 — the composed run() under the NON-default scoring matrix:
+    // ScoreConfig("upui", proportional = true, backtracking = true)
+    // through the production KgPipeline.run() (o10 gates flat+proportional
+    // only). Turns: odd doc-banks share one banner text per conversation
+    // so the REAL xxhash64 text-dedup classes bite; tool pattern as o4.
+    // Backtracked ancestor triples carry evidence 0 / empty turn sample
+    // (no raw occurrence rows) — the classic left-join path under the
+    // hash. Oracle = o4's upui keep-first (keyed by the text itself) →
+    // o5's closure union → proportional division → o6's support and
+    // canonicalization, chained.
+    "o13_pipeline_upui_backtrack" -> ((s, d) => {
+      val turns = s.read.parquet(s"$d/documents.parquet")
+        .select(
+          convOf(col("doc_id")).as("conv_id"),
+          col("doc_id").cast("int").as("turn_idx"),
+          lit("user").as("role"),
+          o13Text.as("text"),
+          toolOf(col("doc_id")).as("tool"),
+          lit(java.sql.Timestamp.valueOf("2025-01-01 00:00:00")).as("ts"))
+      new KgPipeline(s,
+          PipelineConfig(
+            score = graft.stages.ScoreConfig(normalization = "upui",
+              proportional = true, backtracking = true),
+            persistIntermediates = true),
+          dictOverride = Some(restrictedDict))
+        .run(turns)
+        .annotated
+        .select(col("subj"), col("pred"), col("obj"), col("weight"), col("evidence"),
+          col("name"), concat_ws(",", col("turn_sample")).as("turns"))
+        .orderBy("subj", "obj")
+    }),
     // --- similarity search (embeddings) ---
     "e1_cosine_topk" -> ((s, d) => EmbedOps.cosineTopK(s, d)),
     "e2_cosine_neardup" -> ((s, d) => EmbedOps.cosineNearDupPairs(s, d)),
@@ -492,6 +523,36 @@ object SparkEntry {
       s"  ($e, '$curie', '${full.nameOf(curie).replace("'", "''")}')"
     }.mkString(",\n")
   }
+
+  /** (envo, curie, name) VALUES rows for the restricted concepts PLUS all
+    * their closure ancestors — o13's canonicalization dim: backtracking
+    * emits ancestor triples, and the engine's dict (formToSerials-filtered
+    * only) canonicalizes them with the FULL curie/name tables. */
+  private def restrictedWithAncestorsCurieNameValues: String = {
+    val full = KgPipeline.sharedDict
+    val base = restrictedForms
+      .flatMap(f => full.formToSerials(f).flatMap(full.serialToEnvoInt.get)).distinct
+    val withAnc = (base ++ base.flatMap(e => full.closure.getOrElse(e, Array.empty[Int])))
+      .distinct.sorted
+      // canonicalization is an inner join on the concept dim — only envos
+      // with a curie appear in the output, so only those belong in the dim
+      .filter(full.intToCurie.contains)
+    withAnc.map { e =>
+      val curie = full.intToCurie(e)
+      s"  ($e, '$curie', '${full.nameOf(curie).replace("'", "''")}')"
+    }.mkString(",\n")
+  }
+
+  /** o13's text: odd doc-banks (doc_id div 50 odd) share ONE banner text,
+    * so each synthetic conversation holds 5 turns with IDENTICAL text —
+    * the composed pipeline's real xxhash64 text-dedup classes (upui) then
+    * provably bite; everything else keeps the o1 injection. Mirrored
+    * verbatim in the o13 oracle (which groups by the text itself — exact
+    * text equality is what the 64-bit hash join implements). */
+  private def o13Text: org.apache.spark.sql.Column =
+    when(expr("pmod(doc_id div 50, 2) = 1"),
+      lit("conv banner with ocean and mud near the garden"))
+      .otherwise(taggerInjection)
 
   /** (child, ancestor) closure VALUES rows for the restricted concepts —
     * the oracle's copy of the backtracking closure dim. */
@@ -1123,6 +1184,60 @@ object SparkEntry {
          |SELECT * FROM (SELECT * FROM ann UNION ALL SELECT * FROM men
          |               UNION ALL SELECT * FROM cc)
          |ORDER BY subj, pred, obj, weight, evidence""".stripMargin,
+    // o13: the o4 upui keep-first (text classes keyed by the banner/
+    // injected TEXT itself — exact text equality is what the pipeline's
+    // 64-bit hash join implements) → o5 closure union → proportional
+    // division → o6 support + canonicalization, over the run()-composed
+    // engine side. Ancestor rows have no raw occurrences: LEFT JOIN sup
+    // with COALESCE(0 / '') mirrors the engine's evidence left join.
+    "o13_pipeline_upui_backtrack" ->
+      s"""WITH fe(form, envo) AS (VALUES
+         |$restrictedFormEnvoValues),
+         |cl(child, ancestor) AS (VALUES
+         |$restrictedClosureValues),
+         |en(envo, curie, name) AS (VALUES
+         |$restrictedWithAncestorsCurieNameValues),
+         |t AS (SELECT doc_id,
+         |  CASE WHEN (doc_id // 50) % 2 = 1
+         |       THEN 'conv banner with ocean and mud near the garden'
+         |       ELSE text ||
+         |         CASE doc_id % 5 WHEN 0 THEN ' the ocean meets the sea near the ocean'
+         |                         WHEN 1 THEN ' mud by the lake and garden mud'
+         |                         WHEN 2 THEN ' OCEAN stays blocked but pond counts'
+         |                         ELSE '' END
+         |  END AS t2
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(t2, '[^A-Za-z0-9]+'), x -> x <> '')) AS raw
+         |  FROM t),
+         |m AS (SELECT doc_id, lower(raw) AS form FROM tok
+         |  WHERE lower(raw) IN ('ocean', 'sea', 'lake', 'mud', 'garden', 'pond')
+         |    AND $restrictedStopPredicate),
+         |r AS (SELECT m.doc_id % 50 AS conv, m.doc_id AS turn, t.t2 AS txt,
+         |    CASE WHEN m.doc_id % 3 = 0 THEN NULL
+         |         ELSE 't' || CAST(m.doc_id % 3 AS VARCHAR) END AS tool,
+         |    envo
+         |  FROM m JOIN fe USING (form) JOIN t ON t.doc_id = m.doc_id),
+         |s1 AS (SELECT conv, txt, min(turn) AS mt FROM r GROUP BY 1, 2),
+         |k1 AS (SELECT r.* FROM r JOIN s1 ON r.conv = s1.conv AND r.txt = s1.txt AND r.turn = s1.mt),
+         |nulltool AS (SELECT * FROM k1 WHERE tool IS NULL),
+         |s2 AS (SELECT conv, tool, min(turn) AS mt FROM k1 WHERE tool IS NOT NULL GROUP BY 1, 2),
+         |k2 AS (SELECT k1.* FROM k1 JOIN s2 ON k1.conv = s2.conv AND k1.tool = s2.tool AND k1.turn = s2.mt),
+         |kept AS (SELECT conv, envo FROM nulltool UNION ALL SELECT conv, envo FROM k2),
+         |allocc AS (SELECT conv, envo FROM kept
+         |           UNION ALL
+         |           SELECT k.conv, cl.ancestor AS envo FROM kept k JOIN cl ON k.envo = cl.child),
+         |occ AS (SELECT conv, envo, count(*) AS occ FROM allocc GROUP BY 1, 2),
+         |tot AS (SELECT conv, sum(occ) AS total FROM occ GROUP BY 1),
+         |sup AS (SELECT conv, envo, count(DISTINCT turn) AS n_turns,
+         |    array_to_string(list_slice(list_sort(list(DISTINCT turn)), 1, 20), ',') AS turns
+         |  FROM r GROUP BY 1, 2)
+         |SELECT CAST(occ.conv AS VARCHAR) AS subj, 'annotated_with' AS pred, en.curie AS obj,
+         |       CAST(occ.occ AS DOUBLE) / CAST(tot.total AS DOUBLE) AS weight,
+         |       CAST(COALESCE(sup.n_turns, 0) AS BIGINT) AS evidence, en.name,
+         |       COALESCE(sup.turns, '') AS turns
+         |FROM occ JOIN tot USING (conv) LEFT JOIN sup USING (conv, envo) JOIN en USING (envo)
+         |ORDER BY subj, obj""".stripMargin,
     "o7_sample_projection_restricted" ->
       s"""WITH fe(form, envo) AS (VALUES
          |$restrictedFormEnvoValues),
