@@ -852,7 +852,7 @@ object SparkEntry {
         |  END AS kept
         |  FROM t LEFT JOIN bad b USING (doc_id))
         |SELECT doc_id, n_tokens, len(kept) AS n_kept,
-        |  array_to_string(kept, ' ') AS stripped_text
+        |  COALESCE(array_to_string(kept, ' '), '') AS stripped_text
         |FROM k ORDER BY doc_id""".stripMargin,
     "d11_chunking" ->
       """WITH t AS (SELECT doc_id,
