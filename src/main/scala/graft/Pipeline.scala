@@ -41,11 +41,9 @@ final case class PipelineConfig(
       *                does NOT fire and the tagger runs once per branch
       *                (the r4 measurements that favored this were
       *                measuring it against an even worse cache shape).
-      *  - "auto":     exchange for fused (flat, un-checkpointed) runs —
-      *                there the scoring branch prunes the shuffle narrow
-      *                and the mention branch re-tags shuffle-free;
-      *                partcache for classic runs, which have several wide
-      *                consumers (`tools.ProfileKg <turns> <cores> direct
+      *  - "auto":     partcache (best absolute wall at every measured core
+      *                count, and the only strategy that never re-reads the
+      *                input corpus; `tools.ProfileKg <turns> <cores> direct
       *                e2e` and tools.PairBench reproduce the A/B). */
     sharing: String = "auto") {
   require(Set("auto", "partcache", "cache", "localckpt", "exchange").contains(sharing),
@@ -158,17 +156,16 @@ final class KgPipeline(spark: SparkSession, cfg: PipelineConfig = PipelineConfig
     // the nested mentions array is ~10x slower)
     val envoRows0 = MentionDetect.envoRows(turnMentions0)
     val fusedApplies = ckpt.isEmpty && LinkScore.supportsFused(cfg.score)
+    // auto = partcache: tag once, ONE wide shuffle, everything downstream
+    // partition-local. The "exchange" alternative (re-tag the mention
+    // branch, narrow scoring shuffle) sometimes posts a higher SCALING
+    // RATIO — but only because its low-core side pays the re-tag tax, not
+    // because its high-core side is faster (PairBench A/B: partcache wins
+    // absolute wall at BOTH 4 and 16 cores), and at 100 TB a re-tag means
+    // re-reading the corpus from object storage. Ratio by slower baseline
+    // is not a win.
     val strategy = cfg.sharing match {
-      // Fused runs: "exchange" is the bandwidth-minimal topology — the
-      // scoring branch column-prunes the conv_id repartition down to
-      // (conv_id, envo, turn_idx) before the shuffle, the mention branch
-      // re-tags in a zero-shuffle codegen scan, and no wide columnar cache
-      // is built or decoded (re-tagging inflates least under memory-
-      // bandwidth pressure at high core counts — see BASELINE.md r5).
-      // Classic runs (ui/upui/backtracking/restrict/checkpointed) have
-      // MULTIPLE large consumers of envoRows, so the one-wide-shuffle
-      // partitioned cache wins there.
-      case "auto" => if (fusedApplies) "exchange" else "partcache"
+      case "auto" => "partcache"
       case s => s
     }
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
