@@ -216,7 +216,14 @@ object Bench {
         val (_, _, psh) = kgRun(hi, probePath, iters = 1)
         (psl / psh) / (hi.toDouble / lo)
       }
-      ((lo, hi), effs.max)
+      // same validity rule as the main pairs: uncapped eff > 1.0 means
+      // steal hit only the LOW-core half — an INFLATED reading, not a good
+      // span (high-core steal depresses, low-core steal inflates; only the
+      // max of DEPRESSED readings estimates the clean ratio). A span whose
+      // both probe pairs are invalid scores 0.0 so the other span wins; if
+      // every span is contaminated, maxBy's first-wins tie keeps 2->8.
+      val valid = effs.filter(_ <= 1.0)
+      ((lo, hi), if (valid.nonEmpty) valid.max else 0.0)
     }
     val (lowCpus, highCpus) = spanEffs.maxBy(_._2)._1
     val spanProbeJson = spanEffs.map { case ((l, h), e) =>

@@ -313,7 +313,12 @@ object DocOps {
     * Output: (doc_id, n_tokens, n_kept, stripped_text) — deterministic,
     * mirrored 1:1 by the DuckDB oracle (list_filter with index lambda). */
   def stripBoilerplate(spark: SparkSession, dir: String, dfCap: Int = 50): DataFrame =
-    stripBoilerplateOf(curationFrame(spark, dir), dfCap)
+    // the strip plan references the tokenized corpus THREE times (position
+    // windows, the stop-set df agg, the final join back) — standalone runs
+    // persist it so the scan+tokenize pass runs once, like the funnel's
+    // cached corpus (the d6/d7 multi-branch pattern)
+    stripBoilerplateOf(curationFrame(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), dfCap)
 
   private[graft] def stripBoilerplateOf(df: DataFrame, dfCap: Int): DataFrame =
     strippedKeptOf(df, dfCap)

@@ -32,8 +32,12 @@ final case class NearDupHit(doc_id: Long, dup_of: Long, hamming: Int)
 
 /** Per-bucket near-dup state: `seen` gives O(1) replay/membership checks,
   * `order` preserves arrival order so the cap evicts oldest-first (a Map
-  * alone loses insertion order across the state encoder round-trip). */
-final case class BucketState(seen: Map[Long, Long], order: Seq[Long])
+  * alone loses insertion order across the state encoder round-trip);
+  * `maxTsMs` carries the newest event time the bucket has EVER seen, so an
+  * out-of-order later batch cannot shorten the event-time ageout deadline
+  * below "ageout past the newest event". */
+final case class BucketState(seen: Map[Long, Long], order: Seq[Long],
+                             maxTsMs: Long = Long.MinValue)
 
 /**
  * Structured Streaming surface of the engine: the batch tagger applied to a
@@ -188,7 +192,9 @@ object StreamingMentions {
             val st = state.getOption.getOrElse(BucketState(Map.empty, Vector.empty))
             var seen = st.seen
             var order = st.order.toVector
-            var maxTsMs = Long.MinValue
+            // seed with the bucket's historical max: a batch of only
+            // out-of-order stragglers must never PULL the deadline earlier
+            var maxTsMs = st.maxTsMs
             val out = List.newBuilder[NearDupHit]
             // deterministic within a batch: smaller doc_ids are "earlier"
             rows.toSeq.sortBy(_.doc_id).foreach { r =>
@@ -208,7 +214,7 @@ object StreamingMentions {
                 }
               }
             }
-            state.update(BucketState(seen, order))
+            state.update(BucketState(seen, order, maxTsMs))
             eventTimeAgeout match {
               case Some(d) =>
                 // expire `d` of EVENT time past the newest event seen by

@@ -119,8 +119,13 @@ object CurateCli {
     // d17: strip high-df boilerplate spans from the survivors' token
     // streams (df table over the WHOLE corpus, like decontamination);
     // docs reduced to nothing but boilerplate drop out of the funnel here
+    // persisted: both the kept-count action and the chunks write consume
+    // it, and its upstream (corpus-wide shingle-df agg + coverage agg)
+    // must not run twice; released with the other stage frames
     val strippedSurvivors = DocOps.strippedToksOf(corpus, cfg.stripDfCap)
       .join(sampled, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    stageFrames += strippedSurvivors
     val stripKept = stage("boilerplate_strip",
       strippedSurvivors.filter(size(col("toks")) > 0).select("doc_id"))
 

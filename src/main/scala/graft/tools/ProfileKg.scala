@@ -95,7 +95,8 @@ object ProfileKg {
           }
         }
       }
-      // warm first (codegen/JIT), then the instrumented run
+      // codegen/JIT were warmed by the limit(2000) run above; clear any
+      // cache it left so the instrumented run starts from a clean slate
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()

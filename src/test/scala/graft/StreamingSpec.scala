@@ -239,6 +239,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time ageout: an out-of-order straggler cannot shorten a bucket's deadline") {
+    import graft.streaming.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    // The deadline must track the newest event the bucket has EVER seen
+    // (carried in BucketState.maxTsMs). Recomputing it from only the
+    // current batch would let a late straggler pull the deadline EARLIER
+    // and evict live state.
+    val input = MemoryStream[StreamDoc]
+    val hits = StreamingMentions.nearDupStream(spark, input.toDS(),
+      maxHamming = 12, stateTimeout = None,
+      eventTimeAgeout = Some("1 hour"), lateness = "10 minutes")
+    val q = hits.writeStream.format("memory").queryName("neardup_straggler")
+      .outputMode("update").start()
+    try {
+      val t0 = 1735689600000L
+      def doc(id: Long, text: String, tsMin: Long) =
+        StreamDoc(id, text, new Timestamp(t0 + tsMin * 60000L))
+      val x = "one shared paragraph that keeps this bucket populated through the whole scenario"
+      input.addData(doc(1, x, 0)); q.processAllAvailable()
+      input.addData(doc(2, x, 55)); q.processAllAvailable()   // deadline -> 115
+      input.addData(doc(3, x, 50)); q.processAllAvailable()   // STRAGGLER: must not pull it to 110
+      input.addData(doc(4, "unrelated filler prose about shuffle partition tuning and planning", 123))
+      q.processAllAvailable()                                  // watermark -> 113: inside (110, 115]
+      input.addData(doc(5, x, 114)); q.processAllAvailable()   // bucket must still be alive
+      val doc5 = spark.sql("SELECT dup_of FROM neardup_straggler WHERE doc_id = 5")
+        .collect().map(_.getLong(0)).toSet
+      assert(doc5 === Set(1L, 2L, 3L),
+        s"straggler shortened the ageout deadline — doc 5 matched only $doc5")
+    } finally q.stop()
+  }
+
   test("streaming near-dup rejects a degenerate bucket cap") {
     import graft.streaming.StreamDoc
     implicit val sqlCtx = spark.sqlContext
