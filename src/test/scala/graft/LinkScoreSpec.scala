@@ -124,6 +124,40 @@ class LinkScoreSpec extends SparkSpec {
     }
   }
 
+  test("fused scoreWithEvidence == classic score + evidence agg, row for row") {
+    import org.apache.spark.sql.functions._
+    // the fused path is the plan under the o2/o6/o10/o12 hashes — its rows
+    // must be IDENTICAL to the classic composition for every flat config
+    val turns = miniTurns ++ Seq(
+      turn("c2", 0, "lake mud of the lake", None),
+      turn("c2", 5, "marine wetland", Some("t1")),
+      turn("c2", 9, "marine wetland", Some("t1")))
+    val pipeline = new KgPipeline(spark)
+    val rows = MentionDetect.envoRows(MentionDetect.detect(spark, turns.toDS.toDF))
+    for (proportional <- Seq(true, false)) {
+      val cfg = ScoreConfig(normalization = "flat", proportional = proportional)
+      val fused = LinkScore.scoreWithEvidence(spark, rows, cfg, evidenceCap = 2)
+        .collect().map(r => (r.getString(0), r.getInt(1)) ->
+          ((r.getDouble(2), r.getLong(3), r.getSeq[Int](4).toList))).toMap
+      val classicScores = LinkScore.score(spark, rows, pipeline.dict, cfg)
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      val classicSupport = rows.groupBy("conv_id", "envo")
+        .agg(countDistinct("turn_idx").as("n"),
+          graft.functions.GraftFunctions.bounded_min_set(spark, col("turn_idx"), 2).as("ts"))
+        .collect().map(r => (r.getString(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getSeq[Int](3).toList))).toMap
+      assert(fused.keySet === classicScores.keySet)
+      fused.foreach { case (k, (score, nTurns, sample)) =>
+        assert(score === classicScores(k), s"score mismatch at $k")
+        assert((nTurns, sample) === classicSupport(k), s"evidence mismatch at $k")
+      }
+    }
+    // non-flat configs must refuse the fused path loudly
+    intercept[IllegalArgumentException] {
+      LinkScore.scoreWithEvidence(spark, rows, ScoreConfig(normalization = "ui"), 2)
+    }
+  }
+
   test("conversations with no mentions are absent from the output") {
     val turns = Seq(
       turn("c1", 0, "the ocean was calm", None),

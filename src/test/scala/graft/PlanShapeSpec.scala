@@ -13,6 +13,41 @@ class PlanShapeSpec extends SparkSpec {
   private def plan(df: DataFrame): String =
     df.queryExecution.explainString(FormattedMode)
 
+  test("composed fused run() plans partition-LOCAL: one visible shuffle total") {
+    // The r5 partcache topology: envoRows repartitioned by conv_id and
+    // MATERIALIZED before consumers are planned, so every conv_id-prefixed
+    // agg/window/self-join runs without re-shuffling — the allTriples plan
+    // may contain exactly ONE non-broadcast exchange (the tiny
+    // (envo_a, envo_b) pair aggregation), and the scores/annotated plans
+    // none at all. A regression in cached-partitioning visibility (an
+    // unmaterialized cache, AQE re-wrapping, a key change) shows up here
+    // as extra ENSURE_REQUIREMENTS exchanges.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case n => n +: n.children.flatMap(walk)
+    }
+    def shuffles(df: DataFrame): Seq[String] =
+      walk(df.queryExecution.executedPlan)
+        .collect { case s: ShuffleExchangeExec => s.shuffleOrigin.toString }
+    val turns = graft.synth.TranscriptGen.generate(spark, 200).toDF
+    val r = new KgPipeline(spark, PipelineConfig(persistIntermediates = true))
+      .run(turns)
+    try {
+      assert(shuffles(r.scores).isEmpty,
+        s"scores must be local over the caches: ${shuffles(r.scores)}")
+      assert(shuffles(r.annotated).isEmpty,
+        s"annotated must be local over the caches: ${shuffles(r.annotated)}")
+      val all = shuffles(r.allTriples)
+      assert(all.length === 1,
+        s"allTriples must have exactly the pair-agg exchange, got $all")
+      assert(!plan(r.allTriples).contains("SortMergeJoin"),
+        "the scores×support SMJ must stay deleted from the fused path")
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
+
   test("filter pushdown reaches the parquet scan with pruned columns") {
     val p = plan(RelationalOps.filterPushdown(spark, dir))
     assert(p.contains("PushedFilters:"))
