@@ -29,7 +29,9 @@ object Bench {
     "d11_chunking", "d12_stratified_sample", "d14_pii_scrub",
     "d15_repetition_signals",
     // round-3 addition
-    "d16_corpus_report")
+    "d16_corpus_report",
+    // round-5 additions
+    "d17_boilerplate_strip", "m5_feature_neardup")
 
   private def time[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
