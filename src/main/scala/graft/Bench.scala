@@ -282,9 +282,15 @@ object Bench {
     val tputHigh = nTriples / secHigh
     val efficiency = eff(bestPair)
 
-    // raw (no-Spark) hardware ceiling of the same span, probed right after
-    // the pairs — context for reading the efficiency number
+    // raw (no-Spark) hardware ceilings of the same span, probed right
+    // after the pairs — context for reading the efficiency number. TWO
+    // ceilings because they genuinely differ on this VM: the tag loop is
+    // cache-resident (measures CORE availability/steal only), while
+    // shuffle/cache-scan phases live under the memory-BANDWIDTH ceiling
+    // (tools.MemBw: ~0.84 at 4->16 even on quiet cores — a reading between
+    // the two ceilings is the memory subsystem, not the engine).
     val cpuCeiling = spanCeiling(lowCpus, highCpus, probeTexts)
+    val membwCeiling = graft.tools.MemBw.spanCeiling(lowCpus, highCpus)
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val qruns = runsByQuery.map { case (k, rs) =>
@@ -298,6 +304,7 @@ object Bench {
       f""""pairs_sec":$pairsJson,""" +
       f""""span_probe":$spanProbeJson,""" +
       f""""cpu_ceiling_same_span":$cpuCeiling%.3f,""" +
+      f""""membw_ceiling_same_span":$membwCeiling%.3f,""" +
       f""""efficiency_vs_ceiling":${math.min(1.0, efficiency / cpuCeiling)}%.3f}"""
     val headlineMeta = f""""queries_runs":$qruns,"headline_probe_before":$probeBefore%.0f,""" +
       f""""headline_probe_after":$probeAfter%.0f,"headline_contaminated":$headlineContaminated"""
