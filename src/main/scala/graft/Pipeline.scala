@@ -64,7 +64,9 @@ final case class KgResult(
     mentionTriples: DataFrame, // mentions triples
     coOccurrence: DataFrame,   // (envo_a, envo_b, n_convs)
     coOccurrenceTriples: DataFrame, // cooccurs_with triples (canonicalized)
-    ontologyTriples: DataFrame) {
+    ontologyTriples: DataFrame,
+    /** Handles of the frames run() persisted for cross-branch sharing. */
+    private val sharedFrames: Seq[DataFrame] = Nil) {
 
   /** Every dynamic triple family in one (subj, pred, obj, weight, evidence)
     * frame — the canonical KG sink (one action materializes everything). */
@@ -74,6 +76,12 @@ final case class KgResult(
       .unionByName(mentionTriples.select(cols: _*))
       .unionByName(coOccurrenceTriples.select(cols: _*))
   }
+
+  /** Release the shared caches run() created (persistIntermediates runs
+    * only). Call after the sinks are written: a long-lived session
+    * composing many pipelines would otherwise accumulate one envoRows +
+    * one scores/fused cache per run until teardown. */
+  def unpersist(): Unit = sharedFrames.foreach(_.unpersist())
 }
 
 /**
@@ -169,18 +177,20 @@ final class KgPipeline(spark: SparkSession, cfg: PipelineConfig = PipelineConfig
       case s => s
     }
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shared = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def share(df: DataFrame): DataFrame = { shared += df; df }
     var materializeEnvoRows = false
     val envoRows =
       if (!cfg.persistIntermediates) envoRows0
       else strategy match {
         case "partcache" =>
           materializeEnvoRows = true
-          envoRows0
+          share(envoRows0
             .repartition(spark.sessionState.conf.numShufflePartitions,
               org.apache.spark.sql.functions.col("conv_id"))
-            .persist(disk)
+            .persist(disk))
         case "cache" =>
-          envoRows0.persist(disk)
+          share(envoRows0.persist(disk))
         case "localckpt" =>
           envoRows0.localCheckpoint(eager = false)
         case "exchange" =>
@@ -200,7 +210,7 @@ final class KgPipeline(spark: SparkSession, cfg: PipelineConfig = PipelineConfig
     val fused: Option[DataFrame] =
       if (fusedApplies) {
         val f0 = LinkScore.scoreWithEvidence(spark, envoRows, cfg.score, cfg.evidenceCap)
-        val f = if (cfg.persistIntermediates) f0.persist(disk) else f0
+        val f = if (cfg.persistIntermediates) share(f0.persist(disk)) else f0
         // same materialize-before-plan reasoning: the co-occurrence
         // self-join goes exchange-free only when the cached fused frame's
         // conv_id partitioning is visible at planning time — true for
@@ -218,8 +228,7 @@ final class KgPipeline(spark: SparkSession, cfg: PipelineConfig = PipelineConfig
         val scores0 = Checkpoint.stage(spark, ckpt, "scores", fp) {
           LinkScore.score(spark, envoRows, dict, cfg.score)
         }
-        if (cfg.persistIntermediates)
-          scores0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (cfg.persistIntermediates) share(scores0.persist(disk))
         else scores0
     }
 
@@ -250,7 +259,8 @@ final class KgPipeline(spark: SparkSession, cfg: PipelineConfig = PipelineConfig
       mentionTriples = mentionTriples,
       coOccurrence = cooc,
       coOccurrenceTriples = TripleEmit.coOccurrenceTriples(spark, cooc, dict),
-      ontologyTriples = TripleEmit.ontologyTriples(spark, dict))
+      ontologyTriples = TripleEmit.ontologyTriples(spark, dict),
+      sharedFrames = shared.toSeq)
   }
 }
 

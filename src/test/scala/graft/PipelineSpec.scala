@@ -183,6 +183,28 @@ class PipelineSpec extends SparkSpec {
     assert(fullRun.contains("ENVO:01000001"), "full dict must still tag mud")
   }
 
+  test("KgResult.unpersist releases every cache run() created") {
+    // a long-lived session composing many pipelines must not accumulate
+    // one envoRows + one fused cache per run until teardown
+    val turns = graft.synth.TranscriptGen.generate(spark, 30).toDF
+    val r = new KgPipeline(spark, PipelineConfig(persistIntermediates = true))
+      .run(turns)
+    r.allTriples.count()
+    // while live, the scores projection reads the cached fused frame
+    def usesCache(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+      }.nonEmpty
+    assert(usesCache(r.scores), "the fused frame should be cached while live")
+    r.unpersist()
+    // a FRESH identical plan must no longer resolve to any cache — if
+    // unpersist leaked a frame, cache lookup would substitute it here
+    val r2 = new KgPipeline(spark, PipelineConfig(persistIntermediates = false))
+      .run(turns)
+    assert(!usesCache(r2.scores), "unpersist left a cache behind")
+    assert(!usesCache(r2.mentionTriples), "unpersist left the envoRows cache behind")
+  }
+
   test("ontology triples: typed OBO edges + closure descends_from edges") {
     val r = new KgPipeline(spark).run(
       Seq(Turn("z", 0, "user", "lake", None, new java.sql.Timestamp(0L))).toDS.toDF)
