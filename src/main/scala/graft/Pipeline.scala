@@ -162,8 +162,22 @@ final class KgPipeline(spark: SparkSession, cfg: PipelineConfig = PipelineConfig
     // the hot intermediate is the FLAT envo-occurrence projection — all
     // primitive columns, so the columnar cache build stays cheap (caching
     // the nested mentions array is ~10x slower)
-    val envoRows0 = MentionDetect.envoRows(turnMentions0)
+    val envoRows0full = MentionDetect.envoRows(turnMentions0)
     val fusedApplies = ckpt.isEmpty && LinkScore.supportsFused(cfg.score)
+    // Fused runs never read tool/text_hash/mention_pos (they exist for the
+    // ui/upui dedup keys): drop them BEFORE the shuffle + cache build —
+    // column pruning only thins reads, a cache materializes every column
+    // it was defined with, and the wide shuffle moves what it is given.
+    val envoRows0 =
+      if (fusedApplies)
+        envoRows0full.select(
+          org.apache.spark.sql.functions.col("conv_id"),
+          org.apache.spark.sql.functions.col("turn_idx"),
+          org.apache.spark.sql.functions.col("start"),
+          org.apache.spark.sql.functions.col("end"),
+          org.apache.spark.sql.functions.col("form"),
+          org.apache.spark.sql.functions.col("envo"))
+      else envoRows0full
     // auto = partcache: tag once, ONE wide shuffle, everything downstream
     // partition-local. The "exchange" alternative (re-tag the mention
     // branch, narrow scoring shuffle) sometimes posts a higher SCALING
