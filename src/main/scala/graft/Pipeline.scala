@@ -45,7 +45,20 @@ final case class PipelineConfig(
       *                count, and the only strategy that never re-reads the
       *                input corpus; `tools.ProfileKg <turns> <cores> direct
       *                e2e` and tools.PairBench reproduce the A/B). */
-    sharing: String = "auto") {
+    sharing: String = "auto",
+    /** Ship the mention-provenance columns (start, end, form) through the
+      * SHARED frame on fused runs. Off (default), the one wide shuffle and
+      * the columnar cache carry only (conv_id, turn_idx, envo) — ~45% fewer
+      * row bytes, which is what the memory-bandwidth-bound high-core span
+      * pays for — and the canonical allTriples sink is unaffected (its
+      * mention rows never read the provenance columns). The full
+      * `mentionTriples` frame keeps its schema either way; with provenance
+      * off its standalone consumption re-derives from the un-shuffled
+      * tagger output instead of the shared cache. Set true when the run
+      * will MATERIALIZE the provenance sink alongside the others (e.g.
+      * RunKg writes mentions parquet with spans), so the tag-once sharing
+      * covers it. Non-fused runs always carry the full projection. */
+    mentionProvenance: Boolean = false) {
   require(Set("auto", "partcache", "cache", "localckpt", "exchange").contains(sharing),
     s"sharing must be auto|partcache|cache|localckpt|exchange, got $sharing")
 }
@@ -66,16 +79,26 @@ final case class KgResult(
     coOccurrenceTriples: DataFrame, // cooccurs_with triples (canonicalized)
     ontologyTriples: DataFrame,
     /** Handles of the frames run() persisted for cross-branch sharing. */
-    private val sharedFrames: Seq[DataFrame] = Nil) {
+    private val sharedFrames: Seq[DataFrame] = Nil,
+    /** The mention rows allTriples unions — on thin fused runs this is the
+      * 5-column projection over the SHARED frame (so the canonical sink
+      * never re-tags), while `mentionTriples` above keeps the full
+      * provenance schema. Same canonical rows either way. */
+    private val mentionTriplesForUnion: Option[DataFrame] = None) {
 
   /** Every dynamic triple family in one (subj, pred, obj, weight, evidence)
     * frame — the canonical KG sink (one action materializes everything). */
   def allTriples: DataFrame = {
     val cols = Seq("subj", "pred", "obj", "weight", "evidence").map(org.apache.spark.sql.functions.col)
     annotated.select(cols: _*)
-      .unionByName(mentionTriples.select(cols: _*))
+      .unionByName(mentionTriplesForUnion.getOrElse(mentionTriples).select(cols: _*))
       .unionByName(coOccurrenceTriples.select(cols: _*))
   }
+
+  /** The frame allTriples actually unions for the mention family —
+    * exposed so tests can pin the thin shared-frame shape. */
+  private[graft] def mentionTriplesUnionForTest: DataFrame =
+    mentionTriplesForUnion.getOrElse(mentionTriples)
 
   /** Release the shared caches run() created (persistIntermediates runs
     * only). Call after the sinks are written: a long-lived session
@@ -168,8 +191,16 @@ final class KgPipeline(spark: SparkSession, cfg: PipelineConfig = PipelineConfig
     // ui/upui dedup keys): drop them BEFORE the shuffle + cache build —
     // column pruning only thins reads, a cache materializes every column
     // it was defined with, and the wide shuffle moves what it is given.
+    // Without mentionProvenance the canonical sinks also never read
+    // (start, end, form), so the shared frame narrows to three columns.
+    val fusedThin = fusedApplies && !cfg.mentionProvenance
     val envoRows0 =
-      if (fusedApplies)
+      if (fusedThin)
+        envoRows0full.select(
+          org.apache.spark.sql.functions.col("conv_id"),
+          org.apache.spark.sql.functions.col("turn_idx"),
+          org.apache.spark.sql.functions.col("envo"))
+      else if (fusedApplies)
         envoRows0full.select(
           org.apache.spark.sql.functions.col("conv_id"),
           org.apache.spark.sql.functions.col("turn_idx"),
@@ -257,9 +288,19 @@ final class KgPipeline(spark: SparkSession, cfg: PipelineConfig = PipelineConfig
     // differently from the scoring copy (so nothing is reused) AND would
     // shuffle the full-width rows for no benefit: re-tagging directly is a
     // zero-shuffle codegen scan, strictly cheaper. Cache-family strategies
-    // DO give this branch a free ride, so they keep the shared frame.
-    val mentionSource = if (strategy == "exchange") envoRows0 else envoRows
+    // DO give this branch a free ride, so they keep the shared frame —
+    // except on thin fused runs, where the shared frame has no provenance
+    // columns: there the FULL mention frame re-derives from the un-shuffled
+    // tagger output, and the canonical sink unions a thin projection of the
+    // shared frame instead (mentionTriplesForUnion).
+    val mentionSource =
+      if (fusedThin) envoRows0full
+      else if (strategy == "exchange") envoRows0
+      else envoRows
     val mentionTriples = TripleEmit.mentionTriples(spark, mentionSource, dict)
+    val mentionUnion =
+      if (fusedThin) Some(TripleEmit.mentionTriplesThin(spark, envoRows, dict))
+      else None
     val cooc = Checkpoint.stage(spark, ckpt, "cooccurrence", fp) {
       // scores is a (conv_id, envo) groupBy output — provably distinct
       TripleEmit.coOccurrence(scores, assumeDistinct = true)
@@ -274,7 +315,8 @@ final class KgPipeline(spark: SparkSession, cfg: PipelineConfig = PipelineConfig
       coOccurrence = cooc,
       coOccurrenceTriples = TripleEmit.coOccurrenceTriples(spark, cooc, dict),
       ontologyTriples = TripleEmit.ontologyTriples(spark, dict),
-      sharedFrames = shared.toSeq)
+      sharedFrames = shared.toSeq,
+      mentionTriplesForUnion = mentionUnion)
   }
 }
 

@@ -104,6 +104,23 @@ object TripleEmit {
         col("name"),
         col("form"), col("start"), col("end"))
 
+  /** The canonical-sink projection of the mention family: same
+    * (subj, pred, obj, weight, evidence) rows as `mentionTriples`, built
+    * from a frame that carries only (conv_id, turn_idx, envo) — the shape
+    * thin fused runs share through the one wide shuffle. Span provenance
+    * (start, end, form) is intentionally absent: allTriples never reads it. */
+  def mentionTriplesThin(spark: SparkSession, envoRows: DataFrame, dict: EnvoDict): DataFrame =
+    Canonicalize.canonicalize(
+      spark,
+      envoRows.select(col("conv_id"), col("turn_idx"), col("envo")),
+      dict)
+      .select(
+        concat_ws(":", col("conv_id"), col("turn_idx")).as("subj"),
+        lit(PredMentions).as("pred"),
+        col("curie").as("obj"),
+        lit(1.0).as("weight"),
+        lit(1L).as("evidence"))
+
   /** Static concept→concept KG edges, emitted once per build:
     *  - the OBO's typed direct edges (is_a / part_of / located_in /
     *    derives_from / adjacent_to / …, seqenv/ontology.py:88-97);

@@ -23,13 +23,18 @@ object RunKg {
 
     val spark = Sessions.local(cores, shufflePartitions = 32, appName = "graft-runkg")
     val turns = TranscriptGen.generate(spark, nConvs)
+    // Four sinks materialize: share the tagger output across them, and keep
+    // the provenance columns in the shared frame because the mentions sink
+    // here DOES write the spans (the one case mentionProvenance is for).
     val result = new KgPipeline(spark,
-      PipelineConfig(score = ScoreConfig(norm, proportional, backtracking))).run(turns.toDF)
+      PipelineConfig(score = ScoreConfig(norm, proportional, backtracking),
+        persistIntermediates = true, mentionProvenance = true)).run(turns.toDF)
 
     result.annotated.write.mode("overwrite").parquet(s"$outDir/annotated_with")
     result.mentionTriples.write.mode("overwrite").parquet(s"$outDir/mentions")
     result.coOccurrence.write.mode("overwrite").parquet(s"$outDir/cooccurrence")
     result.ontologyTriples.write.mode("overwrite").parquet(s"$outDir/ontology")
+    result.unpersist()
 
     val nAnnotated = spark.read.parquet(s"$outDir/annotated_with").count()
     val nMentions = spark.read.parquet(s"$outDir/mentions").count()

@@ -183,6 +183,45 @@ class PipelineSpec extends SparkSpec {
     assert(fullRun.contains("ENVO:01000001"), "full dict must still tag mud")
   }
 
+  test("thin fused run: canonical triples identical, shared frame 3 columns wide") {
+    val turns = graft.synth.TranscriptGen.generate(spark, 40).toDF
+    def tripleSet(cfg: PipelineConfig) = {
+      val r = new KgPipeline(spark, cfg).run(turns)
+      val rows = r.allTriples.collect()
+        .map(x => (x.getString(0), x.getString(1), x.getString(2), x.getDouble(3), x.getLong(4)))
+        .toSet
+      val mentions = r.mentionTriples
+        .select("subj", "obj", "form", "start", "end").collect()
+        .map(x => (x.getString(0), x.getString(1), x.getString(2), x.getInt(3), x.getInt(4)))
+        .toSet
+      spark.sharedState.cacheManager.clearCache()
+      (rows, mentions)
+    }
+    val (thinAll, thinMentions) =
+      tripleSet(PipelineConfig(persistIntermediates = true))
+    val (provAll, provMentions) =
+      tripleSet(PipelineConfig(persistIntermediates = true, mentionProvenance = true))
+    assert(thinAll === provAll, "canonical sink must not depend on mentionProvenance")
+    assert(thinMentions === provMentions,
+      "the full provenance frame must be schema- and row-identical on thin runs")
+
+    // the thin run's wide shuffle + cache must carry exactly 3 columns
+    val rThin = new KgPipeline(spark, PipelineConfig(persistIntermediates = true))
+      .run(turns)
+    try {
+      val cached = rThin.scores.queryExecution.optimizedPlan.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m.output.map(_.name)
+      }
+      // scores reads the fused cache whose input is the envoRows cache; find
+      // the envoRows one (it carries turn_idx) and pin its width
+      val envoCached = rThin.mentionTriplesUnionForTest.queryExecution.optimizedPlan.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m.output.map(_.name)
+      }
+      assert(envoCached.exists(_.toSet == Set("conv_id", "turn_idx", "envo")),
+        s"thin shared frame must be (conv_id, turn_idx, envo), got $envoCached / $cached")
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
+
   test("KgResult.unpersist releases every cache run() created") {
     // a long-lived session composing many pipelines must not accumulate
     // one envoRows + one fused cache per run until teardown
