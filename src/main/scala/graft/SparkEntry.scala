@@ -67,6 +67,7 @@ object SparkEntry {
     // dfCap 5 (not the production-default 50) so the strip provably bites
     // on the synthetic corpus at every SF — mirrored in the oracle
     "d17_boilerplate_strip" -> ((s, d) => DocOps.stripBoilerplate(s, d, dfCap = 5)),
+    "d18_incremental_neardup" -> ((s, d) => DocOps.incrementalNearDupQuery(s, d)),
     // d9 consumes d6's (oracle-expressible) Jaccard pairs so the full
     // pairs→clusters path is DuckDB-checked (recursive CTE); the SimHash
     // pair source remains covered by ComponentsSpec.
@@ -854,6 +855,46 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, len(kept) AS n_kept,
         |  COALESCE(array_to_string(kept, ' '), '') AS stripped_text
         |FROM k ORDER BY doc_id""".stripMargin,
+    "d18_incremental_neardup" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g0 AS (SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS g
+        |  FROM t WHERE len(toks) >= 3),
+        |stop AS (SELECT g FROM g0 WHERE doc_id % 4 <> 0 GROUP BY g HAVING count(*) > 50),
+        |g AS (SELECT * FROM g0 WHERE g NOT IN (SELECT g FROM stop)),
+        |h0 AS (SELECT doc_id,
+        |    ('0x' || substr(md5(g), 1, 15))::BIGINT AS a,
+        |    ('0x' || substr(md5(g), 17, 14))::BIGINT AS b
+        |  FROM g),
+        |h AS (SELECT doc_id, i, (a + i * b) % 1152921504606846976 AS h
+        |  FROM h0, range(0, 12) r(i)),
+        |sig AS (SELECT doc_id, i, min(h) AS mh FROM h GROUP BY 1, 2),
+        |bands AS (SELECT doc_id,
+        |    CAST(i // 3 AS VARCHAR) || '|' ||
+        |    CAST(min(CASE WHEN i % 3 = 0 THEN mh END) AS VARCHAR) || '|' ||
+        |    CAST(min(CASE WHEN i % 3 = 1 THEN mh END) AS VARCHAR) || '|' ||
+        |    CAST(min(CASE WHEN i % 3 = 2 THEN mh END) AS VARCHAR) AS bkey
+        |  FROM sig GROUP BY doc_id, i // 3),
+        |cand AS (SELECT DISTINCT least(ba.doc_id, bb.doc_id) AS doc_a,
+        |    greatest(ba.doc_id, bb.doc_id) AS doc_b
+        |  FROM bands ba JOIN bands bb ON ba.bkey = bb.bkey AND ba.doc_id <> bb.doc_id
+        |  WHERE bb.doc_id % 4 = 0),
+        |cdocs AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
+        |cg AS (SELECT * FROM g WHERE doc_id IN (SELECT doc_id FROM cdocs)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM cg GROUP BY 1),
+        |inter AS (SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, count(*) AS common
+        |  FROM cg ga JOIN cg gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id GROUP BY 1, 2)
+        |SELECT c.doc_a, c.doc_b,
+        |       CAST(coalesce(common, 0) AS DOUBLE) /
+        |       CAST(sa.n + sb.n - coalesce(common, 0) AS DOUBLE) AS jaccard
+        |FROM cand c
+        |LEFT JOIN inter ON c.doc_a = inter.doc_a AND c.doc_b = inter.doc_b
+        |JOIN sz sa ON c.doc_a = sa.doc_id JOIN sz sb ON c.doc_b = sb.doc_id
+        |WHERE CAST(coalesce(common, 0) AS DOUBLE) /
+        |      CAST(sa.n + sb.n - coalesce(common, 0) AS DOUBLE) >= 0.18
+        |ORDER BY c.doc_a, c.doc_b""".stripMargin,
     "d11_chunking" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks

@@ -249,6 +249,98 @@ object DocOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The persistable near-dup index of a corpus: the artifacts a later
+    * ingest batch needs to find its near-dups WITHOUT rescanning the old
+    * corpus text — the stop-shingle set (df > cap, a corpus-level artifact
+    * that must stay FIXED as batches arrive, or yesterday's signatures and
+    * today's would disagree) and the MinHash band keys (4 per doc). Both
+    * are plain (columnar) frames, written/reloaded as parquet. */
+  final case class NearDupIndex(stopShingles: DataFrame, bands: DataFrame)
+
+  /** d18a — build the index for a (doc_id, text) corpus. */
+  def nearDupIndexOf(docsDf: DataFrame, dfCap: Int = 50): NearDupIndex = {
+    val grams0 = shinglesOf(docsDf.withColumn("toks", toks))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stop = grams0.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("g")
+    val capped = grams0.join(broadcast(stop), Seq("g"), "left_anti").select("doc_id", "g")
+    NearDupIndex(stop, kmMinhashBands(capped, 12, 3))
+  }
+
+  /** d18 — incremental near-dup: near-dup pairs INVOLVING the new ingest
+    * batch (new-vs-indexed and new-vs-new), against an existing corpus
+    * reached only through its persisted index plus a CANDIDATE-RESTRICTED
+    * text read. The batch-ingest analog of the streaming near-dup state:
+    * at 100 TB the daily batch joins its bands against the index (the new
+    * side is the small one — AQE broadcasts it), and the only old-corpus
+    * text touched is the candidate docs' (semi-join pushdown), never a
+    * full rescan. Same KM-minhash/band/Jaccard spec as d7, with one
+    * deliberate difference: stop-shingles come from the INDEX (the old
+    * corpus), not the union — the representation of already-indexed docs
+    * must not drift as batches arrive, so the stop set is an index
+    * artifact, frozen with it. (A d7 run over old ∪ new restricted to
+    * new-involved pairs matches exactly whenever the union's df cap drops
+    * the same shingles.)
+    * Output: (doc_a, doc_b, jaccard), a < b, jaccard ≥ threshold. */
+  def incrementalNearDup(oldDocs: DataFrame, newDocs: DataFrame,
+                         index: Option[NearDupIndex] = None,
+                         threshold: Double = 0.18, dfCap: Int = 50): DataFrame = {
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val idx = index.getOrElse(nearDupIndexOf(oldDocs, dfCap))
+    val stop = idx.stopShingles
+    val newGrams = shinglesOf(newDocs.withColumn("toks", toks))
+      .join(broadcast(stop), Seq("g"), "left_anti").select("doc_id", "g")
+      .persist(disk)
+    val newBands = kmMinhashBands(newGrams, 12, 3).persist(disk)
+    // candidates: every band match with a NEW doc on at least one side —
+    // (index ∪ new) ⋈ new, normalized to a < b. New-new pairs arrive twice
+    // (a,b)/(b,a); distinct collapses them.
+    val allBands = idx.bands.unionByName(newBands)
+    val candidates = allBands.toDF("doc_x", "bkey")
+      .join(newBands.toDF("doc_y", "bkey"), Seq("bkey"))
+      .filter(col("doc_x") =!= col("doc_y"))
+      .select(least(col("doc_x"), col("doc_y")).as("doc_a"),
+        greatest(col("doc_x"), col("doc_y")).as("doc_b"))
+      .distinct()
+      .persist(disk)
+    val candDocs = candidates.select(col("doc_a").as("doc_id"))
+      .unionByName(candidates.select(col("doc_b").as("doc_id")))
+      .distinct()
+    // verification grams: candidate docs only — the old-corpus text read
+    // is restricted BEFORE tokenization (left_semi under the projection),
+    // so the scan is selective at any corpus size
+    val oldCandGrams = shinglesOf(
+        oldDocs.join(candDocs, Seq("doc_id"), "left_semi").withColumn("toks", toks))
+      .join(broadcast(stop), Seq("g"), "left_anti").select("doc_id", "g")
+    val candGrams = oldCandGrams
+      .unionByName(newGrams.join(candDocs, Seq("doc_id"), "left_semi"))
+      .persist(disk)
+    val sizes = candGrams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = candGrams.toDF("doc_a", "g")
+      .join(candGrams.toDF("doc_b", "g"), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    candidates
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        coalesce(col("common"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("common"), lit(0L))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d18 in driver-query form: the batch = docs with doc_id % 4 = 0, the
+    * indexed corpus = the rest (deterministic, oracle-expressible split). */
+  def incrementalNearDupQuery(spark: SparkSession, dir: String,
+                              threshold: Double = 0.18, dfCap: Int = 50): DataFrame = {
+    val all = docs(spark, dir)
+    incrementalNearDup(all.filter(col("doc_id") % 4 =!= 0),
+      all.filter(col("doc_id") % 4 === 0), None, threshold, dfCap)
+  }
+
   /** SimHash near-dup detection (scale path): 60-bit simhash over tokens,
     * banded into 4×15-bit chunks for candidate generation, verified by
     * Hamming distance. One narrow projection + one equality join — no

@@ -280,6 +280,45 @@ class OpsSpec extends SparkSpec {
       "unrelated docs must not pair")
   }
 
+  test("incremental near-dup: new-involved pairs only, index round-trip identical") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val other = "completely different text about database query optimization and shuffle partitioning strategies here"
+    // ids chosen so doc_id % 4 = 0 marks the NEW batch in the query form;
+    // here we split explicitly: old = {1,2,5}, new = {4,8}
+    val docs = Seq(
+      1L -> base,
+      2L -> (base + " with an extra trailing sentence appended for partial overlap"),
+      5L -> other,
+      4L -> base,                                     // new: exact dup of old 1
+      8L -> (other + " plus one more clause at the end"))  // new: near-dup of old 5
+    val all = docs.toDF("doc_id", "text")
+    val oldDocs = all.filter($"doc_id".isin(1L, 2L, 5L))
+    val newDocs = all.filter($"doc_id".isin(4L, 8L))
+
+    val inline = graft.ops.DocOps
+      .incrementalNearDup(oldDocs, newDocs, None, threshold = 0.3, dfCap = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(inline.exists(p => p._1 == 1L && p._2 == 4L), "new exact dup of old must surface")
+    assert(inline.exists(p => p._1 == 5L && p._2 == 8L), "new near-dup of old must surface")
+    assert(!inline.exists(p => p._1 == 1L && p._2 == 2L),
+      "old-old pairs are the INDEXED corpus' business, not the batch's")
+    inline.foreach { case (a, b, _) => assert(Set(4L, 8L).contains(a) || Set(4L, 8L).contains(b)) }
+
+    // the index persisted to parquet and reloaded must give identical rows
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ndidx").toString
+    val idx = graft.ops.DocOps.nearDupIndexOf(oldDocs, dfCap = 1000)
+    idx.stopShingles.write.mode("overwrite").parquet(s"$tmp/stop")
+    idx.bands.write.mode("overwrite").parquet(s"$tmp/bands")
+    val loaded = graft.ops.DocOps.NearDupIndex(
+      spark.read.parquet(s"$tmp/stop"), spark.read.parquet(s"$tmp/bands"))
+    val viaIndex = graft.ops.DocOps
+      .incrementalNearDup(oldDocs, newDocs, Some(loaded), threshold = 0.3, dfCap = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(viaIndex.toSeq.sorted === inline.toSeq.sorted,
+      "a reloaded index must reproduce the inline result exactly")
+  }
+
   test("zero embeddings score NULL cosine (excluded), never ANSI divide-by-zero") {
     import spark.implicits._
     // Spark 4 defaults ANSI mode ON where 0/0 throws — one all-zero vector
