@@ -68,6 +68,7 @@ object SparkEntry {
     // on the synthetic corpus at every SF — mirrored in the oracle
     "d17_boilerplate_strip" -> ((s, d) => DocOps.stripBoilerplate(s, d, dfCap = 5)),
     "d18_incremental_neardup" -> ((s, d) => DocOps.incrementalNearDupQuery(s, d)),
+    "d19_sequence_packing" -> ((s, d) => DocOps.packChunks(s, d)),
     // d9 consumes d6's (oracle-expressible) Jaccard pairs so the full
     // pairs→clusters path is DuckDB-checked (recursive CTE); the SimHash
     // pair source remains covered by ComponentsSpec.
@@ -895,6 +896,22 @@ object SparkEntry {
         |WHERE CAST(coalesce(common, 0) AS DOUBLE) /
         |      CAST(sa.n + sb.n - coalesce(common, 0) AS DOUBLE) >= 0.18
         |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+    "d19_sequence_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 10, 1) + 1, 40)) AS s
+        |  FROM t WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, (s - 1) // 40 AS chunk_idx,
+        |  len(list_slice(toks, s, s + 49)) AS n_tokens FROM s),
+        |p AS (SELECT doc_id % 8 AS shard, doc_id, chunk_idx, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY doc_id % 8
+        |    ORDER BY doc_id, chunk_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre
+        |  FROM c)
+        |SELECT shard, pre // 512 AS seq_id, pre % 512 AS seq_offset,
+        |       doc_id, chunk_idx, n_tokens
+        |FROM p ORDER BY shard, doc_id, chunk_idx""".stripMargin,
     "d11_chunking" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks

@@ -482,6 +482,41 @@ object DocOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** d19 — sequence packing: lay chunks out contiguously into
+    * fixed-capacity training sequences, shard-parallel. Chunks keep their
+    * (doc_id, chunk_idx) order inside a deterministic shard
+    * (doc_id % nShards); a chunk whose preceding-token prefix sum lands in
+    * window s = pre DIV capacity belongs to sequence s, at offset
+    * pre MOD capacity (straddling chunks spill into the next window —
+    * contiguous GPT-style packing, NOT greedy bin packing: the assignment
+    * is a pure per-shard prefix sum, so it is reproducible at any cluster
+    * size and parallel across shards, where close-the-bin packing is an
+    * inherently sequential fold). Scale note: one shard = one window
+    * partition; nShards is the parallelism/skew knob and should scale with
+    * the corpus (thousands at 100 TB — shard count only changes WHICH
+    * sequences chunks land in, never the packing density). */
+  def packChunks(spark: SparkSession, dir: String, capacity: Int = 512,
+                 nShards: Int = 8, chunkTokens: Int = 50, overlap: Int = 10): DataFrame =
+    packChunksOf(chunkDocsOf(curationFrame(spark, dir), chunkTokens, overlap),
+      capacity, nShards)
+
+  private[graft] def packChunksOf(chunks: DataFrame, capacity: Int,
+                                  nShards: Int): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id", "chunk_idx")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    chunks
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+      .withColumn("pre", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("shard"),
+        expr(s"pre DIV $capacity").as("seq_id"),
+        (col("pre") % capacity).as("seq_offset"),
+        col("doc_id"), col("chunk_idx"), col("n_tokens"))
+      .orderBy("shard", "doc_id", "chunk_idx")
+  }
+
   /** d12's stable sample key: md5-prefix of doc_id bucketed into [0, 2^24)
     * — shared by the batch query and the single-pass funnel signals. */
   private[graft] val sampleBucket: Column =

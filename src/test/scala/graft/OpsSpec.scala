@@ -319,6 +319,31 @@ class OpsSpec extends SparkSpec {
       "a reloaded index must reproduce the inline result exactly")
   }
 
+  test("sequence packing: per-shard prefix-sum assignment, hand-computed") {
+    import spark.implicits._
+    val chunks = Seq(
+      (0L, 0, 5), (0L, 1, 3), // shard 0
+      (1L, 0, 4),             // shard 1
+      (2L, 0, 6),             // shard 0
+      (3L, 0, 2))             // shard 1
+      .toDF("doc_id", "chunk_idx", "n_tokens")
+    val packed = graft.ops.DocOps.packChunksOf(chunks, capacity = 8, nShards = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    // shard 0 order: (0,0) pre=0, (0,1) pre=5, (2,0) pre=8
+    // shard 1 order: (1,0) pre=0, (3,0) pre=4
+    assert(packed.toSeq === Seq(
+      (0L, 0L, 0L, 0L, 0), (0L, 0L, 5L, 0L, 1), (0L, 1L, 0L, 2L, 0),
+      (1L, 0L, 0L, 1L, 0), (1L, 0L, 4L, 3L, 0)))
+    // every offset stays inside the window; every chunk appears exactly once
+    packed.foreach { case (_, _, off, _, _) => assert(off >= 0 && off < 8) }
+    assert(packed.length === 5)
+    // degenerate knobs refuse loudly
+    intercept[IllegalArgumentException] {
+      graft.ops.DocOps.packChunksOf(chunks, capacity = 0, nShards = 2)
+    }
+  }
+
   test("zero embeddings score NULL cosine (excluded), never ANSI divide-by-zero") {
     import spark.implicits._
     // Spark 4 defaults ANSI mode ON where 0/0 throws — one all-zero vector

@@ -111,6 +111,31 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("d18 verification joins only candidate-doc shingles, old text semi-restricted") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+    val plan = graft.ops.DocOps.incrementalNearDupQuery(spark, dir)
+      .queryExecution.optimizedPlan
+    // same discipline as d7: the Jaccard-verification shingle join must sit
+    // above candidate restrictions on both sides — otherwise the "index"
+    // op secretly rescans and self-joins the whole old corpus
+    def hasSemi(p: LogicalPlan): Boolean =
+      p.collectFirst { case j: Join if j.joinType == LeftSemi => j }.isDefined ||
+        p.collectFirst {
+          case m: org.apache.spark.sql.execution.columnar.InMemoryRelation
+            if m.cachedPlan.toString.contains("LeftSemi") => m
+        }.isDefined
+    val gramJoins = plan.collect {
+      case j: Join if j.joinType == Inner &&
+        j.condition.exists(_.references.exists(_.name == "g")) => j
+    }
+    assert(gramJoins.nonEmpty, "expected the Jaccard-verification shingle join")
+    gramJoins.foreach { j =>
+      assert(hasSemi(j.left) && hasSemi(j.right),
+        s"d18 shingle join is not candidate-restricted:\n$j")
+    }
+  }
+
   test("e5 LSH near-dup plan has no cartesian or nested-loop join") {
     // the whole point of the bucketed near-dup is replacing e2's quadratic
     // cross join with bucket equi-joins — a cartesian anywhere in the plan
