@@ -69,6 +69,7 @@ object SparkEntry {
     "d17_boilerplate_strip" -> ((s, d) => DocOps.stripBoilerplate(s, d, dfCap = 5)),
     "d18_incremental_neardup" -> ((s, d) => DocOps.incrementalNearDupQuery(s, d)),
     "d19_sequence_packing" -> ((s, d) => DocOps.packChunks(s, d)),
+    "d20_decontamination" -> ((s, d) => DocOps.decontaminationQuery(s, d)),
     // d9 consumes d6's (oracle-expressible) Jaccard pairs so the full
     // pairs→clusters path is DuckDB-checked (recursive CTE); the SimHash
     // pair source remains covered by ComponentsSpec.
@@ -912,6 +913,27 @@ object SparkEntry {
         |SELECT shard, pre // 512 AS seq_id, pre % 512 AS seq_offset,
         |       doc_id, chunk_idx, n_tokens
         |FROM p ORDER BY shard, doc_id, chunk_idx""".stripMargin,
+    "d20_decontamination" ->
+      """WITH base AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 82 = 0 OR (doc_id % 41 <> 0 AND doc_id % 7 = 3)
+        |       THEN text || ' the quick brown benchmark fox jumps over the lazy training set'
+        |       ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM base),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
+        |     for i in range(1, len(toks) - 3)])) AS g
+        |  FROM t WHERE len(toks) >= 5),
+        |eg AS (SELECT DISTINCT g FROM g WHERE doc_id % 41 = 0),
+        |j AS (SELECT g.doc_id, count(*) AS n_grams,
+        |             CAST(sum(CASE WHEN eg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit_grams
+        |      FROM g LEFT JOIN eg ON g.g = eg.g
+        |      WHERE g.doc_id % 41 <> 0 GROUP BY 1)
+        |SELECT doc_id, n_grams, hit_grams,
+        |       CAST(hit_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) AS contamination
+        |FROM j WHERE hit_grams >= 5 ORDER BY doc_id""".stripMargin,
     "d11_chunking" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks

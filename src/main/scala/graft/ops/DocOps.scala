@@ -517,6 +517,65 @@ object DocOps {
       .orderBy("shard", "doc_id", "chunk_idx")
   }
 
+  /** Distinct word n-gram rows of a frame carrying (doc_id, toks) —
+    * the n-generalized sibling of [[shinglesOf]] (kept separate so the
+    * 3-gram dedup paths stay byte-identical to their oracles). */
+  private[graft] def gramsOfN(df: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val terms = (0 until n).map(k => s"element_at(toks, i + $k)").mkString(", ")
+    df.filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(array_distinct(
+        expr(s"transform(sequence(1, greatest(size(toks) - ${n - 1}, 0)), " +
+          s"i -> concat_ws(' ', $terms))"))).as("g"))
+  }
+
+  /** d20 — decontamination: flag training documents sharing >= minHits
+    * distinct word n-grams with a held-out benchmark/eval corpus (the
+    * GPT-3/Llama eval-overlap check, 13-gram in the papers; n is a knob).
+    * Scale shape: the eval side is tiny next to a 100 TB training corpus,
+    * so its distinct gram set is BROADCAST — training grams are never
+    * shuffled on the gram value (unlike d6's shingle self-join); the only
+    * exchange is the partially-aggregated groupBy(doc_id). Each per-doc
+    * gram is distinct and the eval set is distinct, so the left join
+    * preserves row counts and n_grams = count(*) is exact. */
+  def decontaminateOf(train: DataFrame, evalDocs: DataFrame,
+                      n: Int = 5, minHits: Long = 5): DataFrame = {
+    val tg = gramsOfN(train.withColumn("toks", toks), n)
+    val eg = gramsOfN(evalDocs.withColumn("toks", toks), n)
+      .select("g").distinct().withColumn("hit", lit(1L))
+    tg.join(broadcast(eg), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("hit")), lit(0L)).as("hit_grams"))
+      .filter(col("hit_grams") >= minHits)
+      .withColumn("contamination",
+        col("hit_grams").cast("double") / col("n_grams").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  /** 11 tokens → exactly 7 phrase-internal 5-grams: an injected training
+    * doc lands hit_grams >= 7 while un-injected docs sit near 0. */
+  private[graft] val contaminationPhrase =
+    "the quick brown benchmark fox jumps over the lazy training set"
+
+  /** The d20 oracle query: the synthetic corpus is hash-unique (zero
+    * natural 5-gram overlap at sf0.01), so contamination is injected
+    * deterministically at the query site — the phrase is appended to half
+    * the eval split (doc_id % 82 = 0) and to a slice of the training split
+    * (doc_id % 7 = 3) — and mirrored verbatim in the DuckDB oracle, the
+    * m-series convention. Naturally planted near-dup twins of eval docs
+    * also flag, which is the point of the check. */
+  def decontaminationQuery(spark: SparkSession, dir: String): DataFrame = {
+    val injected = docs(spark, dir).withColumn("text",
+      when(col("doc_id") % 82 === 0 ||
+        (col("doc_id") % 41 =!= 0 && col("doc_id") % 7 === 3),
+        concat(col("text"), lit(" " + contaminationPhrase)))
+        .otherwise(col("text")))
+    decontaminateOf(
+      injected.filter(col("doc_id") % 41 =!= 0),
+      injected.filter(col("doc_id") % 41 === 0))
+  }
+
   /** d12's stable sample key: md5-prefix of doc_id bucketed into [0, 2^24)
     * — shared by the batch query and the single-pass funnel signals. */
   private[graft] val sampleBucket: Column =

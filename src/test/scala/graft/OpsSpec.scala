@@ -344,6 +344,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("decontamination: eval-gram overlap counts, hand-computed") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // 2 distinct 5-grams, 1 hit
+      (2L, "one two three four five six seven"),   // 3 grams, 0 hits
+      (3L, "tiny doc"))                            // < n tokens, no gram rows
+      .toDF("doc_id", "text")
+    val ev = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val out = graft.ops.DocOps.decontaminateOf(train, ev, n = 5, minHits = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((1L, 2L, 1L, 0.5)))
+    // minHits gates: raising it past the overlap empties the result
+    assert(graft.ops.DocOps.decontaminateOf(train, ev, n = 5, minHits = 2).isEmpty)
+  }
+
   test("zero embeddings score NULL cosine (excluded), never ANSI divide-by-zero") {
     import spark.implicits._
     // Spark 4 defaults ANSI mode ON where 0/0 throws — one all-zero vector

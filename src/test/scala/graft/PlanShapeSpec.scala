@@ -136,6 +136,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("d20 eval-gram join is broadcast; training grams never shuffle on the gram value") {
+    val p = plan(graft.ops.DocOps.decontaminationQuery(spark, dir))
+    // the 100 TB shape: tiny eval gram set broadcast to the training scan —
+    // a SortMergeJoin here would shuffle the full training gram stream on
+    // the gram string (d6's self-join shape, wrong for an asymmetric join)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("e5 LSH near-dup plan has no cartesian or nested-loop join") {
     // the whole point of the bucketed near-dup is replacing e2's quadratic
     // cross join with bucket equi-joins — a cartesian anywhere in the plan
