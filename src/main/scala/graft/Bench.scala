@@ -31,7 +31,8 @@ object Bench {
     // round-3 addition
     "d16_corpus_report",
     // round-5 additions
-    "d17_boilerplate_strip", "m5_feature_neardup")
+    "d17_boilerplate_strip", "m5_feature_neardup",
+    "d19_sequence_packing", "d20_decontamination")
 
   private def time[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
