@@ -95,8 +95,16 @@ object ProfileKg {
           }
         }
       }
-      // codegen/JIT were warmed by the limit(2000) run above; clear any
-      // cache it left so the instrumented run starts from a clean slate
+      // codegen/JIT were warmed by the limit(2000) run above; `warm` adds
+      // one full-size uninstrumented run so the instrumented one matches
+      // the e2e mode's rep2 (steady-state) shape. Cache cleared either way
+      // so the instrumented run starts from a clean slate.
+      if (args.contains("warm")) {
+        val w = new KgPipeline(spark, PipelineConfig(
+          persistIntermediates = true, dedupeTexts = false,
+          sharing = strategy)).run(turns)
+        w.allTriples.count()
+      }
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
