@@ -32,7 +32,8 @@ object Bench {
     "d16_corpus_report",
     // round-5 additions
     "d17_boilerplate_strip", "m5_feature_neardup",
-    "d19_sequence_packing", "d20_decontamination")
+    "d19_sequence_packing", "d20_decontamination",
+    "d21_repeated_spans", "e6_semantic_dedup")
 
   private def time[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()

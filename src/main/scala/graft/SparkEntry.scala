@@ -70,6 +70,7 @@ object SparkEntry {
     "d18_incremental_neardup" -> ((s, d) => DocOps.incrementalNearDupQuery(s, d)),
     "d19_sequence_packing" -> ((s, d) => DocOps.packChunks(s, d)),
     "d20_decontamination" -> ((s, d) => DocOps.decontaminationQuery(s, d)),
+    "d21_repeated_spans" -> ((s, d) => DocOps.repeatedSpansQuery(s, d)),
     // d9 consumes d6's (oracle-expressible) Jaccard pairs so the full
     // pairs→clusters path is DuckDB-checked (recursive CTE); the SimHash
     // pair source remains covered by ComponentsSpec.
@@ -270,6 +271,7 @@ object SparkEntry {
     "e3_lsh_topk" -> ((s, d) => EmbedOps.lshTopK(s, d)),
     "e4_ivf_topk" -> ((s, d) => EmbedOps.ivfTopK(s, d)),
     "e5_lsh_neardup" -> ((s, d) => EmbedOps.lshNearDupPairs(s, d)),
+    "e6_semantic_dedup" -> ((s, d) => EmbedOps.semanticDedup(s, d)),
     // --- KG pipeline (rows-only for the driver; oracled by ScalaTest).
     //     persistIntermediates: the triple queries consume the tagger
     //     output through several plan branches — cache it once. ---
@@ -934,6 +936,35 @@ object SparkEntry {
         |SELECT doc_id, n_grams, hit_grams,
         |       CAST(hit_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) AS contamination
         |FROM j WHERE hit_grams >= 5 ORDER BY doc_id""".stripMargin,
+    // d21: rolling 10-token window hashes (the d7/d8 60-bit md5 trick) →
+    // occurrence count >= 2 → per-doc merge of contiguous/overlapping
+    // coverage; banner injection mirrored from repeatedSpansQuery (the %7=3
+    // branch wins ties, same as Spark's when-chain order)
+    "d21_repeated_spans" ->
+      ("""WITH base AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 3 THEN text || ' BANNER'
+        |       WHEN doc_id % 23 = 0 THEN text || ' BANNER BANNER'
+        |       ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM base),
+        |w AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 8)) AS pos
+        |  FROM t WHERE len(toks) >= 10),
+        |h AS (SELECT doc_id, pos,
+        |    ('0x' || substr(md5(array_to_string(list_slice(toks, pos, pos + 9), ' ')), 1, 15))::BIGINT AS h
+        |  FROM w),
+        |dup AS (SELECT h FROM h GROUP BY h HAVING count(*) >= 2),
+        |hit AS (SELECT doc_id, pos FROM h WHERE h IN (SELECT h FROM dup)),
+        |f AS (SELECT doc_id, pos,
+        |  CASE WHEN pos - COALESCE(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), pos - 11) > 10
+        |       THEN 1 ELSE 0 END AS brk FROM hit),
+        |g AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS UNBOUNDED PRECEDING) AS grp FROM f)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end,
+        |       max(pos) + 9 - min(pos) + 1 AS span_tokens
+        |FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
+        .replace("BANNER", graft.ops.DocOps.repeatBanner)),
     "d11_chunking" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
@@ -1576,6 +1607,68 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM co)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // e6: the e4 centroid CTEs verbatim (seed sample → one exact fixed-
+    // point Lloyd step → refined quantizer) down to the cell assignment,
+    // then within-cell pairs with the hand-rolled double cosine (e2 shape)
+    // and the keep-first removal rule
+    "e6_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |seeds AS (SELECT vec_id AS cell,
+        |  [CAST(embedding[i] AS DOUBLE) /
+        |   sqrt(list_aggregate([CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)
+        |                        for j in range(1, len(embedding) + 1)], 'sum'))
+        |   for i in range(1, len(embedding) + 1)] AS cv
+        |  FROM e WHERE vec_id < 16),
+        |ssc AS (SELECT e.vec_id, s.cell,
+        |  list_aggregate([CAST(e.embedding[i] AS DOUBLE) * s.cv[i]
+        |                  for i in range(1, len(e.embedding) + 1)], 'sum') AS s
+        |  FROM e, seeds s),
+        |assign0 AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY s DESC, cell DESC) AS rn FROM ssc) WHERE rn = 1),
+        |sx AS (SELECT a.cell, e.embedding,
+        |    unnest(generate_series(1, len(e.embedding))) AS dim
+        |  FROM assign0 a JOIN e USING (vec_id)),
+        |cellcnt AS (SELECT cell, count(*) AS n FROM assign0 GROUP BY cell),
+        |sums AS (SELECT cell, dim,
+        |    sum(CAST(round(CAST(embedding[dim] AS DOUBLE) * 1073741824.0) AS BIGINT)) AS fx
+        |  FROM sx GROUP BY 1, 2),
+        |means AS (SELECT s.cell,
+        |    list(CAST(fx AS DOUBLE) / (CAST(c.n AS DOUBLE) * 1073741824.0) ORDER BY dim) AS mv
+        |  FROM sums s JOIN cellcnt c USING (cell) GROUP BY s.cell, c.n),
+        |refined AS (SELECT cell,
+        |  CASE WHEN sqrt(list_aggregate([mv[j] * mv[j]
+        |                                 for j in range(1, len(mv) + 1)], 'sum')) > 0
+        |    THEN [mv[i] / sqrt(list_aggregate([mv[j] * mv[j]
+        |                                       for j in range(1, len(mv) + 1)], 'sum'))
+        |          for i in range(1, len(mv) + 1)]
+        |    ELSE NULL END AS cv
+        |  FROM means),
+        |c AS (SELECT s.cell, COALESCE(r.cv, s.cv) AS cv
+        |  FROM seeds s LEFT JOIN refined r USING (cell)),
+        |sc AS (SELECT e.vec_id, c.cell,
+        |  list_aggregate([CAST(e.embedding[i] AS DOUBLE) * c.cv[i]
+        |                  for i in range(1, len(e.embedding) + 1)], 'sum') AS s
+        |  FROM e, c),
+        |assigned AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY s DESC, cell DESC) AS rn FROM sc) WHERE rn = 1),
+        |n AS (SELECT vec_id, embedding,
+        |  sqrt(list_aggregate([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                  for i in range(1, len(embedding) + 1)], 'sum')) AS nrm
+        |  FROM e),
+        |p AS (SELECT a1.vec_id AS vec_a, a2.vec_id AS vec_b,
+        |  CASE WHEN na.nrm > 0 AND nb.nrm > 0 THEN
+        |    list_aggregate([CAST(na.embedding[i] AS DOUBLE) * CAST(nb.embedding[i] AS DOUBLE)
+        |                    for i in range(1, len(na.embedding) + 1)], 'sum')
+        |      / (na.nrm * nb.nrm) END AS cosine
+        |  FROM assigned a1 JOIN assigned a2 ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id
+        |  JOIN n na ON na.vec_id = a1.vec_id JOIN n nb ON nb.vec_id = a2.vec_id),
+        |removed AS (SELECT DISTINCT vec_b AS vec_id FROM p WHERE cosine >= 0.38)
+        |SELECT a.vec_id, a.cell,
+        |       CAST(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM assigned a LEFT JOIN removed r USING (vec_id)
+        |ORDER BY a.vec_id""".stripMargin,
     // m5: stub-decoder features recomputed from the corpus — component d =
     // ('0x'||substr(md5(kind:payload:d),1,15))::BIGINT % 31 - 15, exactly
     // the Scala StubDecoder (integer-valued, so every product/sum below is

@@ -576,6 +576,142 @@ object DocOps {
       injected.filter(col("doc_id") % 41 === 0))
   }
 
+  /** d21 — repeated exact-substring spans: every maximal token range of a
+    * document covered by a `window`-token run whose content occurs >= minDf
+    * times in the corpus (occurrence count, so a doc-internal repeat counts
+    * too). This is the ExactSubstr pass of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better") re-expressed for Spark:
+    * their suffix array is a single-machine structure that doesn't
+    * distribute, but a repeat of length L >= window is exactly the union of
+    * its L - window + 1 rolling-window hits, so rolling 60-bit window
+    * hashes find the same >= window-token repeats and the per-document
+    * merge below reassembles the maximal spans.
+    *
+    * Scale shape: window rows carry (doc_id, pos, h) scalars only — the
+    * 60-bit md5 hash (the d7/d8 portable trick), never the window text;
+    * duplicate detection is a partially-aggregated groupBy(h) + join-back
+    * (NO hash self-join, so a boilerplate window shared by millions of
+    * docs costs one map-side combine, not f² pairs); span assembly is a
+    * per-document window function (doc-local, skew-free). The hash frame
+    * feeds both the agg and the join-back, so it is persisted (md5 per
+    * window is the expensive upstream — the repo-wide twice-referenced
+    * rule). */
+  def repeatedSpansOf(df: DataFrame, window: Int = 10, minDf: Long = 2): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val rows = df.filter(size(col("toks")) >= window)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${window - 1}), i -> named_struct(" +
+          s"'pos', cast(i as bigint), " +
+          s"'h', cast(conv(substring(md5(concat_ws(' ', slice(toks, i, $window))), 1, 15), 16, 10) as bigint)))"))
+        .as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = rows.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select("h")
+    val hits = rows.join(dup, Seq("h")).select("doc_id", "pos")
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    // windows at p1 < p2 cover [p1, p1+W-1] and [p2, p2+W-1]: contiguous or
+    // overlapping coverage (p2 - p1 <= W) merges into one span
+    val grouped = hits
+      .withColumn("brk",
+        when(coalesce(col("pos") - lag("pos", 1).over(byPos), lit(window.toLong + 1))
+          > window, lit(1L)).otherwise(lit(0L)))
+      .withColumn("grp", sum("brk").over(byPos.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    grouped.groupBy("doc_id", "grp")
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(window.toLong - 1)).as("span_end"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** 17 tokens → 8 rolling 10-token windows per occurrence. */
+  private[graft] val repeatBanner =
+    "subscribe to our channel for more updates and do not forget to share this transcript with friends"
+
+  /** The d21 oracle query: the synthetic corpus is hash-unique, so repeats
+    * are injected at the query site (m-series convention, mirrored in the
+    * DuckDB oracle): a banner appended to the doc_id % 7 = 3 slice (cross-
+    * document repeats) and TWICE to doc_id % 23 = 0 (a doc-internal repeat
+    * — occurrence-counted, so it flags even in isolation). */
+  def repeatedSpansQuery(spark: SparkSession, dir: String): DataFrame = {
+    val injected = docs(spark, dir).withColumn("text",
+      when(col("doc_id") % 7 === 3, concat(col("text"), lit(" " + repeatBanner)))
+        .when(col("doc_id") % 23 === 0,
+          concat(col("text"), lit(" " + repeatBanner + " " + repeatBanner)))
+        .otherwise(col("text")))
+    repeatedSpansOf(injected.withColumn("toks", toks))
+  }
+
+  /** d22 — quality-classifier scoring with a hashed linear model (the
+    * fastText-style reference-corpus filter of the GPT-3/CCNet/RefinedWeb
+    * pipelines): every token hashes into one of `buckets` weight slots and
+    * the document logit is the sum of its tokens' slot weights. The model
+    * here is deterministic — slot weight = 60-bit md5 integer of the slot
+    * id mapped into [-15, 15] (the d8/m5 trick) — so scoring is exact
+    * integer arithmetic end to end and sits under the DuckDB hash; a real
+    * trained weight vector drops in without changing the plan (the model is
+    * `buckets` values — broadcast-sized by construction, independent of
+    * corpus size). Scale shape: projection + ONE partially-aggregated
+    * groupBy(doc_id) — no joins, nothing corpus-global; token-less docs
+    * have no logit and drop out (both engines). */
+  def qualityClassify(spark: SparkSession, dir: String, buckets: Int = 4096): DataFrame =
+    qualityClassifyOf(curationFrame(spark, dir), buckets)
+
+  private[graft] def qualityClassifyOf(df: DataFrame, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    df.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("bucket", expr(
+        s"cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint) % $buckets"))
+      .withColumn("w", expr(
+        "cast(conv(substring(md5(concat('w:', cast(bucket as string))), 1, 15), 16, 10) as bigint) % 31 - 15"))
+      .groupBy("doc_id")
+      .agg(sum(col("w")).as("logit"), count(lit(1)).as("n_toks"))
+      .withColumn("kept", when(col("logit") > 0, lit(1L)).otherwise(lit(0L)))
+      .orderBy("doc_id")
+  }
+
+  /** d23 — domain-mixture sampling to a token budget (the Pile/Llama data
+    * mixing stage): re-balance the corpus so each language contributes ~its
+    * target weight of a global token budget. Per-language token totals come
+    * from ONE tiny aggregation (|langs| rows — driver model state, the IVF
+    * convention); the keep rule is then a pure scan-side filter: keep iff
+    * stable md5 bucket < rate·2^24, rate_l = min(1, budget·w_l / tokens_l).
+    * Deterministic (no RNG, no sort), reproducible at any cluster size, and
+    * the filter pushes to the scan exactly like d12. Weights for langs not
+    * in the map default to 0 (dropped). */
+  def domainMixSample(spark: SparkSession, dir: String,
+                      weights: Map[String, Double] = Map(
+                        "en" -> 0.5, "fr" -> 0.2, "es" -> 0.15,
+                        "zh" -> 0.1, "de" -> 0.05),
+                      budgetFrac: Double = 0.5): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac <= 1.0,
+      s"budgetFrac must be in (0, 1], got $budgetFrac")
+    val base = curationFrame(spark, dir)
+      .select(col("doc_id"), col("lang"), size(col("toks")).cast("long").as("n_tokens"))
+    val totals: Map[String, Long] = base.groupBy("lang")
+      .agg(sum(col("n_tokens")).as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val grandTotal = totals.values.sum
+    // rate per lang, every double op in source order (mirrored 1:1 by the
+    // oracle SQL so the kept sets are bit-identical)
+    val rates: Map[String, Double] = totals.map { case (lang, t) =>
+      val w = weights.getOrElse(lang, 0.0)
+      lang -> (if (t > 0) math.min(1.0, budgetFrac * grandTotal.toDouble * w / t.toDouble)
+               else 0.0)
+    }
+    val cut = rates.foldLeft(lit(0.0)) { case (acc, (lang, r)) =>
+      when(col("lang") === lang, lit(r * (1 << 24))).otherwise(acc)
+    }
+    base.withColumn("bucket", sampleBucket)
+      .filter(col("bucket") < cut)
+      .select("doc_id", "lang", "n_tokens")
+      .orderBy("doc_id")
+  }
+
   /** d12's stable sample key: md5-prefix of doc_id bucketed into [0, 2^24)
     * — shared by the batch query and the single-pass funnel signals. */
   private[graft] val sampleBucket: Column =

@@ -152,6 +152,58 @@ object EmbedOps {
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 3,
               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val e = emb(spark, dir)
+    val cents = refinedCentroids(e, nlist)
+
+    // score per cell = dot(emb, cent/||cent||): same cell ORDER as cosine
+    // (the row's own norm is a positive common factor — never computed)
+    val cellScores = cellScoreArray(cents)
+
+    // nearest cell per vector: one projection, struct-max (ties → max cell)
+    val assigned = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("nv"), norm(col("embedding")).as("nn"),
+      array_max(cellScores).getField("cell").as("cell"))
+
+    // nprobe nearest cells per query: sort the literal score array desc,
+    // slice, explode — still projection-only, no window, no shuffle
+    val probedCells = slice(reverse(array_sort(cellScores)), 1, nprobe).getField("cell")
+    val queryCells = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm(col("embedding")).as("nq"), explode(probedCells).as("cell"))
+
+    // each query has nprobe distinct cells and each neighbor exactly one
+    // cell, so candidate pairs are unique — no dedupe stage needed
+    val cands = queryCells
+      .join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineFromNorms(dot(col("qv"), col("nv")), col("nq"), col("nn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cands
+      // exclude NULL-cosine (zero-norm) candidates from ranking, as in
+      // cosineTopK
+      .filter(col("cosine").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The per-cell score array over the centroid literals — one struct per
+    * cell so array_max is the argmax (ties → max cell, mirrored by the
+    * oracles' ORDER BY s DESC, cell DESC). */
+  private def cellScoreArray(cents: Array[(Int, Array[Double])]): Column =
+    array(cents.map { case (cid, cv) =>
+      struct(litDot(col("embedding"), cv).as("s"), lit(cid).as("cell"))
+    }: _*)
+
+  /** The e4/e6 coarse quantizer: a deterministic seed sample (vec_id <
+    * nlist) refined by ONE distributed Lloyd step with exact fixed-point
+    * accumulation — shared by ivfTopK and semanticDedup so the two ops can
+    * never disagree on cell geometry. See [[LloydScale]] for why the sums
+    * are reduce-order-invariant and oracle-recomputable. */
+  private[graft] def refinedCentroids(e: DataFrame, nlist: Int): Array[(Int, Array[Double])] = {
     // The coarse quantizer is model state, driver-sized by definition
     // (nlist vectors); baking it into the projection as literals makes cell
     // assignment a shuffle-free, codegen'd map over the big side instead of
@@ -190,7 +242,7 @@ object EmbedOps {
       .agg(count(lit(1)).as("n"), sumCols: _*)
       .collect()
       .map(r => r.getInt(0) -> r).toMap
-    val cents: Array[(Int, Array[Double])] = seeds.map { case (cid, seedCv) =>
+    seeds.map { case (cid, seedCv) =>
       cellRows.get(cid) match {
         case Some(r) =>
           val n = r.getLong(1).toDouble
@@ -201,43 +253,48 @@ object EmbedOps {
         case None => (cid, seedCv) // empty cell keeps its seed
       }
     }
+  }
 
-    // score per cell = dot(emb, cent/||cent||): same cell ORDER as cosine
-    // (the row's own norm is a positive common factor — never computed)
-    val cellScores = array(cents.map { case (cid, cv) =>
-      struct(litDot(col("embedding"), cv).as("s"), lit(cid).as("cell"))
-    }: _*)
-
-    // nearest cell per vector: one projection, struct-max (ties → max cell)
-    val assigned = e.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("nv"), norm(col("embedding")).as("nn"),
-      array_max(cellScores).getField("cell").as("cell"))
-
-    // nprobe nearest cells per query: sort the literal score array desc,
-    // slice, explode — still projection-only, no window, no shuffle
-    val probedCells = slice(reverse(array_sort(cellScores)), 1, nprobe).getField("cell")
-    val queryCells = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        norm(col("embedding")).as("nq"), explode(probedCells).as("cell"))
-
-    // each query has nprobe distinct cells and each neighbor exactly one
-    // cell, so candidate pairs are unique — no dedupe stage needed
-    val cands = queryCells
-      .join(assigned, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineFromNorms(dot(col("qv"), col("nv")), col("nq"), col("nn")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cands
-      // exclude NULL-cosine (zero-norm) candidates from ranking, as in
-      // cosineTopK
-      .filter(col("cosine").isNotNull)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
-      .orderBy("query_id", "rank")
+  /** e6 — SemDeDup (Abbas et al. 2023): semantic dedup via cluster-bucketed
+    * cosine. Every vector is assigned to its nearest coarse centroid (the
+    * SAME refined quantizer as e4 — shuffle-free literal argmax), candidate
+    * pairs exist only WITHIN a cell (equi-join on the cell key — never
+    * all-pairs), and a vector is removed when some lower-id vector in its
+    * cell sits above the cosine threshold (the repo-wide keep-first rule).
+    * Output: (vec_id, cell, kept 1/0) for every vector.
+    *
+    * Scale shape: the within-cell self-join moves (vec_id, cell) scalars
+    * only, vectors join back by id afterwards (the e5 pattern); within-cell
+    * candidate volume is Σ|cell|², so nlist must grow with the corpus —
+    * SemDeDup runs k-means with ~10⁵ clusters at web scale, and `nlist` is
+    * exactly that knob. The assignment frame feeds both the pair join and
+    * the final keep-join, so it is persisted. */
+  def semanticDedup(spark: SparkSession, dir: String, threshold: Double = 0.38,
+                    nlist: Int = 16): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = refinedCentroids(e, nlist)
+    val assigned = e.select(col("vec_id"),
+        array_max(cellScoreArray(cents)).getField("cell").as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = assigned.toDF("vec_a", "cell")
+      .join(assigned.toDF("vec_b", "cell"), Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+    val pairs = candIds
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
+        norm(col("embedding")).as("na")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
+        norm(col("embedding")).as("nb")), Seq("vec_b"))
+      .withColumn("cosine", cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cosine") >= threshold)
+    // zero-norm vectors score NULL, fail the threshold, and are never
+    // removed — same contract as every other cosine path
+    val removed = pairs.select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("dup", lit(1L))
+    assigned
+      .join(removed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("dup").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
+      .orderBy("vec_id")
   }
 
   /** (vec_id, bucket) sign-bucket rows for nTables hash tables — shared by

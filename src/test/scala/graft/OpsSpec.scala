@@ -359,6 +359,55 @@ class OpsSpec extends SparkSpec {
     assert(graft.ops.DocOps.decontaminateOf(train, ev, n = 5, minHits = 2).isEmpty)
   }
 
+  test("repeated spans: cross-doc and doc-internal repeats, merge and gap semantics") {
+    import spark.implicits._
+    val docsDf = Seq(
+      (1L, "x1 x2 p q r x3 x4"),              // cross-doc repeat of "p q r"
+      (2L, "y1 p q r y2"),
+      (3L, "a a a a a a"),                    // doc-internal: every window repeats
+      (4L, "p q r z1 z2 z3 z4 z5 p q r"),     // two repeats split by a gap > W
+      (5L, "u1 u2 u3 u4 u5 u6"))              // no repeated window anywhere
+      .toDF("doc_id", "text")
+    val withToks = docsDf.withColumn("toks",
+      filter(split(lower(col("text")), "\\W+"), x => x =!= lit("")))
+    val out = graft.ops.DocOps.repeatedSpansOf(withToks, window = 3, minDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 3L, 5L, 3L),   // "p q r" at tokens 3-5
+      (2L, 2L, 4L, 3L),
+      (3L, 1L, 6L, 6L),   // 4 overlapping hits merge into one maximal span
+      (4L, 1L, 3L, 3L),   // gap of 8 > W=3 keeps the two regions separate
+      (4L, 9L, 11L, 3L)))
+    // degenerate knobs refuse loudly
+    intercept[IllegalArgumentException] {
+      graft.ops.DocOps.repeatedSpansOf(withToks, window = 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.DocOps.repeatedSpansOf(withToks, window = 3, minDf = 1)
+    }
+  }
+
+  test("semantic dedup: removals are exactly the keep-first rule within cells") {
+    // e6 must agree with an independent reconstruction from the brute
+    // cosine pairs + its own cell assignment: removed == { b | exists a < b
+    // in the same cell with cosine(a, b) >= threshold }
+    val theta = 0.38
+    val out = EmbedOps.semanticDedup(spark, dir, threshold = theta).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(out.length.toLong === nVecs, "one row per vector")
+    val cellOf = out.map(t => t._1 -> t._2).toMap
+    val brute = EmbedOps.cosineNearDupPairs(spark, dir, threshold = theta)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expectRemoved = brute.collect {
+      case (a, b) if cellOf(a) == cellOf(b) => b
+    }.toSet
+    val gotRemoved = out.collect { case (id, _, kept) if kept == 0L => id }.toSet
+    assert(gotRemoved === expectRemoved)
+    assert(gotRemoved.nonEmpty, "threshold chosen so the dedup provably bites")
+    assert(gotRemoved.size < nVecs, "dedup must keep representatives")
+  }
+
   test("zero embeddings score NULL cosine (excluded), never ANSI divide-by-zero") {
     import spark.implicits._
     // Spark 4 defaults ANSI mode ON where 0/0 throws — one all-zero vector

@@ -155,6 +155,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("e6 semantic dedup plan is cell-bucketed, never all-pairs") {
+    // SemDeDup's contract: candidate pairs exist only within an IVF cell —
+    // the within-cell self-join must be an equi-join on the cell key, and
+    // the pair join must move (vec_id, cell) scalars with vectors joined
+    // back by id (the e5 pattern)
+    val p = plan(graft.ops.EmbedOps.semanticDedup(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d21 repeated-span detection: dup hashes found by agg, never a hash self-join") {
+    // window-hash duplicate detection must be groupBy(h) + join-back — a
+    // boilerplate window shared by f docs costs one combine, not f² pairs;
+    // the span merge is a per-document window (doc-local)
+    val p = plan(graft.ops.DocOps.repeatedSpansQuery(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+    // the (doc_id, pos, h) hash frame feeds the agg AND the join-back: the
+    // md5-per-window pipeline must run once (persisted), not per consumer
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
   test("m5 media feature near-dup plan has no cartesian or nested-loop join") {
     // m5 shipped as a brute crossJoin in round 2 while the e5 bucketing
     // machinery existed for exactly this — guard the bucketed plan
