@@ -33,7 +33,8 @@ object Bench {
     // round-5 additions
     "d17_boilerplate_strip", "m5_feature_neardup",
     "d19_sequence_packing", "d20_decontamination",
-    "d21_repeated_spans", "e6_semantic_dedup")
+    "d21_repeated_spans", "e6_semantic_dedup",
+    "d22_quality_classifier", "d23_domain_mixture")
 
   private def time[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()

@@ -71,6 +71,8 @@ object SparkEntry {
     "d19_sequence_packing" -> ((s, d) => DocOps.packChunks(s, d)),
     "d20_decontamination" -> ((s, d) => DocOps.decontaminationQuery(s, d)),
     "d21_repeated_spans" -> ((s, d) => DocOps.repeatedSpansQuery(s, d)),
+    "d22_quality_classifier" -> ((s, d) => DocOps.qualityClassify(s, d)),
+    "d23_domain_mixture" -> ((s, d) => DocOps.domainMixSample(s, d)),
     // d9 consumes d6's (oracle-expressible) Jaccard pairs so the full
     // pairs→clusters path is DuckDB-checked (recursive CTE); the SimHash
     // pair source remains covered by ComponentsSpec.
@@ -585,6 +587,16 @@ object SparkEntry {
       s"  ($t, $p, [$comps])"
     }).mkString(",\n")
 
+  /** d23's mixing model as DuckDB literals — weights from the SAME map the
+    * engine uses, in `%.17E` form (bare decimals parse as DECIMAL). */
+  private def d23WeightCase: String =
+    graft.ops.DocOps.defaultMixWeights.toSeq.sortBy(_._1).map { case (lang, w) =>
+      s"WHEN lang = '$lang' THEN ${"%.17E".formatLocal(java.util.Locale.ROOT, w)}"
+    }.mkString("CASE ", " ", " ELSE 0.0E0 END")
+
+  private def d23BudgetFracLit: String =
+    "%.17E".formatLocal(java.util.Locale.ROOT, graft.ops.DocOps.defaultBudgetFrac)
+
   /** DuckDB-runnable oracles; table names resolve to parquet files in the
     * same sfDir (driver substitutes paths). Column names/aliases match the
     * Spark side exactly (driver sorts columns by name before hashing). */
@@ -965,6 +977,42 @@ object SparkEntry {
         |       max(pos) + 9 - min(pos) + 1 AS span_tokens
         |FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
         .replace("BANNER", graft.ops.DocOps.repeatBanner)),
+    // d22: the hashed linear model recomputed in SQL — token slot =
+    // 60-bit md5 % 4096, slot weight = 60-bit md5 of 'w:slot' mapped to
+    // [-15, 15]; exact integer sums (CAST from DuckDB's HUGEINT)
+    "d22_quality_classifier" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |r AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |w AS (SELECT doc_id,
+        |  ('0x' || substr(md5('w:' || CAST(
+        |     ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 AS VARCHAR)), 1, 15))::BIGINT
+        |   % 31 - 15 AS w
+        |  FROM r)
+        |SELECT doc_id, CAST(sum(w) AS BIGINT) AS logit, count(*) AS n_toks,
+        |  CAST(CASE WHEN sum(w) > 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // d23: per-lang rates recomputed in SQL with the SAME double op order
+    // as the Scala driver (((budgetFrac * grandTotal) * w) / tokens) and
+    // every literal in always-exponent form (bare decimals parse as
+    // DECIMAL in DuckDB and shift the arithmetic)
+    "d23_domain_mixture" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tk FROM t GROUP BY lang),
+        |g AS (SELECT CAST(sum(tk) AS BIGINT) AS gt FROM tot),
+        |r AS (SELECT lang,
+        |  CASE WHEN tk > 0 THEN least(1.0E0,
+        |    ${d23BudgetFracLit} * CAST(g.gt AS DOUBLE) * (${d23WeightCase}) / CAST(tk AS DOUBLE))
+        |  ELSE 0.0E0 END AS rate
+        |  FROM tot, g)
+        |SELECT t.doc_id, t.lang, t.n_tokens
+        |FROM t JOIN r USING (lang)
+        |WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 6))::BIGINT
+        |      < r.rate * 16777216.0E0
+        |ORDER BY t.doc_id""".stripMargin,
     "d11_chunking" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks

@@ -683,11 +683,15 @@ object DocOps {
     * Deterministic (no RNG, no sort), reproducible at any cluster size, and
     * the filter pushes to the scan exactly like d12. Weights for langs not
     * in the map default to 0 (dropped). */
+  /** d23's default mixing weights — shared with the oracle SQL builder so
+    * the engine and DuckDB can never disagree on the model. */
+  private[graft] val defaultMixWeights: Map[String, Double] = Map(
+    "en" -> 0.5, "fr" -> 0.2, "es" -> 0.15, "zh" -> 0.1, "de" -> 0.05)
+  private[graft] val defaultBudgetFrac: Double = 0.5
+
   def domainMixSample(spark: SparkSession, dir: String,
-                      weights: Map[String, Double] = Map(
-                        "en" -> 0.5, "fr" -> 0.2, "es" -> 0.15,
-                        "zh" -> 0.1, "de" -> 0.05),
-                      budgetFrac: Double = 0.5): DataFrame = {
+                      weights: Map[String, Double] = defaultMixWeights,
+                      budgetFrac: Double = defaultBudgetFrac): DataFrame = {
     require(budgetFrac > 0 && budgetFrac <= 1.0,
       s"budgetFrac must be in (0, 1], got $budgetFrac")
     val base = curationFrame(spark, dir)

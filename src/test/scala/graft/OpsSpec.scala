@@ -387,6 +387,64 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("quality classifier: logits match an independent JDK reimplementation") {
+    import spark.implicits._
+    def hash60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def logitOf(text: String, buckets: Int): (Long, Long) = {
+      val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      val l = toks.map { t =>
+        val slot = hash60(t) % buckets
+        hash60(s"w:$slot") % 31 - 15
+      }.sum
+      (l, toks.length.toLong)
+    }
+    val docsDf = Seq(
+      (1L, "the marsh sediment sample shows high salinity"),
+      (2L, "a b c d e f g h"),
+      (3L, "one token repeated token repeated token"))
+      .toDF("doc_id", "text")
+    val withToks = docsDf.withColumn("toks",
+      filter(split(lower(col("text")), "\\W+"), x => x =!= lit("")))
+    val got = graft.ops.DocOps.qualityClassifyOf(withToks, buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = Seq(1L, 2L, 3L).map { id =>
+      val text = docsDf.filter(col("doc_id") === id).head().getString(1)
+      val (l, n) = logitOf(text, 64)
+      (id, l, n, if (l > 0) 1L else 0L)
+    }
+    assert(got === want)
+    intercept[IllegalArgumentException] {
+      graft.ops.DocOps.qualityClassifyOf(withToks, buckets = 0)
+    }
+  }
+
+  test("domain mixture: weight semantics, rate saturation, monotone buckets") {
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+    // a lang absent from the weight map is dropped entirely
+    val enOnly = DocOps.domainMixSample(spark, dir, weights = Map("en" -> 1.0))
+      .collect()
+    assert(enOnly.nonEmpty && enOnly.forall(_.getString(1) == "en"))
+    // full budget on one lang saturates its rate at 1.0: every en doc kept
+    val enAll = DocOps.domainMixSample(spark, dir,
+      weights = Map("en" -> 1.0), budgetFrac = 1.0).collect()
+    val nEn = all.filter(col("lang") === "en").count()
+    assert(enAll.length.toLong === nEn)
+    // raising a weight only ever ADDS docs (threshold rule is monotone)
+    val low = DocOps.domainMixSample(spark, dir, weights = Map("en" -> 0.1))
+      .collect().map(_.getLong(0)).toSet
+    val high = DocOps.domainMixSample(spark, dir, weights = Map("en" -> 0.3))
+      .collect().map(_.getLong(0)).toSet
+    assert(low.subsetOf(high))
+    assert(low.size < high.size, "higher budget share must keep more docs")
+    intercept[IllegalArgumentException] {
+      DocOps.domainMixSample(spark, dir, budgetFrac = 0.0)
+    }
+  }
+
   test("semantic dedup: removals are exactly the keep-first rule within cells") {
     // e6 must agree with an independent reconstruction from the brute
     // cosine pairs + its own cell assignment: removed == { b | exists a < b

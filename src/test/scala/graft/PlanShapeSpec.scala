@@ -177,6 +177,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), p)
   }
 
+  test("d22/d23 are join-free: the model is literal or driver state") {
+    // d22's weight table and d23's per-lang rates are model state (buckets
+    // values / |langs| rows) — neither may appear as a corpus-side join;
+    // d22 is projection + one partial-agg'd groupBy(doc_id), d23 is a pure
+    // scan-side filter like d12
+    val p22 = plan(graft.ops.DocOps.qualityClassify(spark, dir))
+    assert(!p22.contains("Join"), p22)
+    assert(p22.contains("HashAggregate"), p22)
+    val p23 = plan(graft.ops.DocOps.domainMixSample(spark, dir))
+    assert(!p23.contains("Join"), p23)
+  }
+
   test("m5 media feature near-dup plan has no cartesian or nested-loop join") {
     // m5 shipped as a brute crossJoin in round 2 while the e5 bucketing
     // machinery existed for exactly this — guard the bucketed plan
