@@ -236,6 +236,24 @@ object SparkEntry {
       restrictedPipeline(s, d).allTriples
         .orderBy("subj", "pred", "obj", "weight", "evidence")
     }),
+    // O14 — the incremental KG store under the hash: the o12 corpus split
+    // into two conv-disjoint batches appended to a FRESH store (batch 2
+    // re-delivers batch 1, exercising the idempotent skip), then the
+    // store's canonical triple view. Per-conv families compose exactly and
+    // the co-occurrence state merges old + delta, so the result must equal
+    // the whole-corpus o12 run — the oracle IS o12's SQL.
+    "o14_incremental_store" -> ((s, d) => {
+      val idx = java.nio.file.Files.createTempDirectory("graft-o14").toString
+      val turns = restrictedTurns(s, d)
+      val b1 = turns.filter(pmod(xxhash64(col("conv_id")), lit(2)) === 0)
+      val b2 = turns.filter(pmod(xxhash64(col("conv_id")), lit(2)) === 1)
+      graft.stages.IncrementalKg.append(s, idx, b1,
+        restrictedConfig, Some(restrictedDict))
+      graft.stages.IncrementalKg.append(s, idx, b1.unionByName(b2),
+        restrictedConfig, Some(restrictedDict))
+      graft.stages.IncrementalKg.triples(s, idx, Some(restrictedDict))
+        .orderBy("subj", "pred", "obj", "weight", "evidence")
+    }),
     // O13 — the composed run() under the NON-default scoring matrix:
     // ScoreConfig("upui", proportional = true, backtracking = true)
     // through the production KgPipeline.run() (o10 gates flat+proportional
@@ -449,8 +467,8 @@ object SparkEntry {
     * doc_id % 50, turn = doc_id, o1 text injection, o4 tool pattern) fed
     * through the COMPOSED production pipeline with the restricted
     * dictionary injected. */
-  private def restrictedPipeline(s: SparkSession, d: String): KgResult = {
-    val turns = s.read.parquet(s"$d/documents.parquet")
+  private def restrictedTurns(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
       .select(
         convOf(col("doc_id")).as("conv_id"),
         col("doc_id").cast("int").as("turn_idx"),
@@ -458,13 +476,15 @@ object SparkEntry {
         taggerInjection.as("text"),
         toolOf(col("doc_id")).as("tool"),
         lit(java.sql.Timestamp.valueOf("2025-01-01 00:00:00")).as("ts"))
-    new KgPipeline(s,
-        PipelineConfig(
-          score = graft.stages.ScoreConfig(normalization = "flat", proportional = true),
-          persistIntermediates = true),
-        dictOverride = Some(restrictedDict))
-      .run(turns)
-  }
+
+  private def restrictedConfig: PipelineConfig =
+    PipelineConfig(
+      score = graft.stages.ScoreConfig(normalization = "flat", proportional = true),
+      persistIntermediates = true)
+
+  private def restrictedPipeline(s: SparkSession, d: String): KgResult =
+    new KgPipeline(s, restrictedConfig, dictOverride = Some(restrictedDict))
+      .run(restrictedTurns(s, d))
 
   /** The o2/o3 shared stage: REAL restricted tagger over injected documents
     * → envoRows in the engine's hot-projection shape. */
@@ -600,7 +620,12 @@ object SparkEntry {
   /** DuckDB-runnable oracles; table names resolve to parquet files in the
     * same sfDir (driver substitutes paths). Column names/aliases match the
     * Spark side exactly (driver sorts columns by name before hashing). */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracleSql +
+    // o14: the incremental store's triple view must equal the whole-corpus
+    // composed run() — the oracle IS o12's SQL by construction
+    ("o14_incremental_store" -> baseOracleSql("o12_pipeline_all_triples"))
+
+  private def baseOracleSql: Map[String, String] = Map(
     "a1_flat_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
