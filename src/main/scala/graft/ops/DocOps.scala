@@ -596,17 +596,20 @@ object DocOps {
     * feeds both the agg and the join-back, so it is persisted (md5 per
     * window is the expensive upstream — the repo-wide twice-referenced
     * rule). */
-  def repeatedSpansOf(df: DataFrame, window: Int = 10, minDf: Long = 2): DataFrame = {
+  def repeatedSpansOf(df: DataFrame, window: Int = 10, minDf: Long = 2,
+                      persist: Boolean = true): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
-    val rows = df.filter(size(col("toks")) >= window)
+    val rows0 = df.filter(size(col("toks")) >= window)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(toks) - ${window - 1}), i -> named_struct(" +
           s"'pos', cast(i as bigint), " +
           s"'h', cast(conv(substring(md5(concat_ws(' ', slice(toks, i, $window))), 1, 15), 16, 10) as bigint)))"))
         .as("w"))
       .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows =
+      if (persist) rows0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else rows0
     val dup = rows.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf).select("h")
     val hits = rows.join(dup, Seq("h")).select("doc_id", "pos")
