@@ -34,7 +34,8 @@ object Bench {
     "d17_boilerplate_strip", "m5_feature_neardup",
     "d19_sequence_packing", "d20_decontamination",
     "d21_repeated_spans", "e6_semantic_dedup",
-    "d22_quality_classifier", "d23_domain_mixture")
+    "d22_quality_classifier", "d23_domain_mixture",
+    "d24_priority_dedup", "d25_bigram_vocab", "e7_sq_topk")
 
   private def time[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()

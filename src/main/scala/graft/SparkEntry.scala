@@ -73,6 +73,15 @@ object SparkEntry {
     "d21_repeated_spans" -> ((s, d) => DocOps.repeatedSpansQuery(s, d)),
     "d22_quality_classifier" -> ((s, d) => DocOps.qualityClassify(s, d)),
     "d23_domain_mixture" -> ((s, d) => DocOps.domainMixSample(s, d)),
+    // d24 needs cross-source duplicate classes to bite — the m2 injection
+    // (every 17th text replaced by one fixed marker, mirrored verbatim in
+    // the oracle) plants them across differently-ranked sources
+    "d24_priority_dedup" -> ((s, d) => DocOps.priorityDedupOf(
+      s.read.parquet(s"$d/documents.parquet")
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(17)) === 0, lit("DUP PAYLOAD"))
+            .otherwise(col("text"))))),
+    "d25_bigram_vocab" -> ((s, d) => DocOps.bigramVocab(s, d)),
     // d9 consumes d6's (oracle-expressible) Jaccard pairs so the full
     // pairs→clusters path is DuckDB-checked (recursive CTE); the SimHash
     // pair source remains covered by ComponentsSpec.
@@ -141,6 +150,15 @@ object SparkEntry {
         graft.stages.ScoreConfig(normalization = "flat", proportional = true))
       graft.stages.TripleEmit.coOccurrenceTriples(s,
           graft.stages.TripleEmit.coOccurrence(scores), restrictedDict)
+        .orderBy("subj", "obj")
+    }),
+    // o15: association lift over the o3 co-occurrence pairs — the count,
+    // both marginals, and the conversation total combined into the exact
+    // independence ratio (one double division; PMI = ln(lift), monotone)
+    "o15_cooc_lift" -> ((s, d) => {
+      val scores = graft.stages.LinkScore.score(s, restrictedEnvoRows(s, d), restrictedDict,
+        graft.stages.ScoreConfig(normalization = "flat", proportional = true))
+      graft.stages.TripleEmit.coOccurrenceLift(s, scores, restrictedDict)
         .orderBy("subj", "obj")
     }),
     // The scorer's ui normalization path (A2: duplicate texts within a
@@ -292,6 +310,7 @@ object SparkEntry {
     "e4_ivf_topk" -> ((s, d) => EmbedOps.ivfTopK(s, d)),
     "e5_lsh_neardup" -> ((s, d) => EmbedOps.lshNearDupPairs(s, d)),
     "e6_semantic_dedup" -> ((s, d) => EmbedOps.semanticDedup(s, d)),
+    "e7_sq_topk" -> ((s, d) => EmbedOps.sqTopK(s, d)),
     // --- KG pipeline (rows-only for the driver; oracled by ScalaTest).
     //     persistIntermediates: the triple queries consume the tagger
     //     output through several plan branches — cache it once. ---
@@ -1777,5 +1796,108 @@ object SparkEntry {
        |      / (fa.nrm * fb.nrm) END AS cosine
        |  FROM cand c JOIN n fa ON fa.media_id = c.media_a JOIN n fb ON fb.media_id = c.media_b)
        |SELECT media_a, media_b, round(cosine, 6) AS cosine FROM p
-       |WHERE cosine >= 0.999 ORDER BY media_a, media_b""".stripMargin)
+       |WHERE cosine >= 0.999 ORDER BY media_a, media_b""".stripMargin,
+    // d24: rank = numeric source suffix (TRY_CAST('' ) is NULL on both
+    // engines), keep-min over the packed (rank, doc_id) BIGINT — exact
+    // integer arithmetic end to end; injection as m2
+    "d24_priority_dedup" ->
+      """WITH m AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % 17 = 0 THEN 'DUP PAYLOAD' ELSE text END AS text
+        |  FROM documents),
+        |k AS (SELECT doc_id, source, md5(text) AS h,
+        |  COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT), 999999) AS src_rank
+        |  FROM m),
+        |p AS (SELECT *, src_rank * 1099511627776 + doc_id AS packed FROM k),
+        |g AS (SELECT h, min(packed) AS kp, count(*) AS n_copies FROM p GROUP BY 1)
+        |SELECT p.doc_id, p.source, p.src_rank,
+        |  CAST(CASE WHEN p.packed = g.kp THEN 1 ELSE 0 END AS BIGINT) AS kept,
+        |  g.kp % 1099511627776 AS kept_by, g.n_copies
+        |FROM p JOIN g USING (h) ORDER BY p.doc_id""".stripMargin,
+    // d25: same tokenization as d8, adjacent pairs via list comprehension,
+    // deterministic top-K cut (count DESC, bigram ASC — bigrams unique
+    // after the group, so the LIMIT boundary is total-ordered)
+    "d25_bigram_vocab" ->
+      """WITH t AS (SELECT list_filter(
+        |    regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |p AS (SELECT unnest([toks[i] || ' ' || toks[i + 1]
+        |                     for i in range(1, len(toks))]) AS bigram
+        |  FROM t WHERE len(toks) >= 2)
+        |SELECT bigram, count(*) AS n FROM p GROUP BY 1
+        |ORDER BY n DESC, bigram ASC LIMIT 50""".stripMargin,
+    // o15: o3's injection/tagging/pair CTEs verbatim, plus the marginal
+    // counts and the conversation total folded into the exact lift ratio
+    // (BIGINT products < 2^53, one double division)
+    "o15_cooc_lift" ->
+      s"""WITH fe(form, envo) AS (VALUES
+         |$restrictedFormEnvoValues),
+         |ec(envo, curie) AS (VALUES
+         |$restrictedEnvoCurieValues),
+         |t AS (SELECT doc_id, text ||
+         |  CASE doc_id % 5 WHEN 0 THEN ' the ocean meets the sea near the ocean'
+         |                  WHEN 1 THEN ' mud by the lake and garden mud'
+         |                  WHEN 2 THEN ' OCEAN stays blocked but pond counts'
+         |                  ELSE '' END AS t2
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(t2, '[^A-Za-z0-9]+'), x -> x <> '')) AS raw
+         |  FROM t),
+         |m AS (SELECT doc_id, lower(raw) AS form FROM tok
+         |  WHERE lower(raw) IN ('ocean', 'sea', 'lake', 'mud', 'garden', 'pond')
+         |    AND $restrictedStopPredicate),
+         |de AS (SELECT DISTINCT doc_id, envo FROM m JOIN fe USING (form)),
+         |marg AS (SELECT envo, count(*) AS n FROM de GROUP BY 1),
+         |tot AS (SELECT count(DISTINCT doc_id) AS nt FROM de),
+         |p AS (SELECT a.envo AS envo_a, b.envo AS envo_b, count(*) AS n_convs
+         |  FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.envo < b.envo
+         |  GROUP BY 1, 2)
+         |SELECT ca.curie AS subj, cb.curie AS obj, p.n_convs,
+         |  CAST(p.n_convs * tot.nt AS DOUBLE) / CAST(ma.n * mb.n AS DOUBLE) AS lift
+         |FROM p CROSS JOIN tot
+         |JOIN marg ma ON ma.envo = p.envo_a
+         |JOIN marg mb ON mb.envo = p.envo_b
+         |JOIN ec ca ON ca.envo = p.envo_a
+         |JOIN ec cb ON cb.envo = p.envo_b
+         |ORDER BY subj, obj""".stripMargin,
+    // e7: quantization (scale, round-half-away codes), code-cosine scan,
+    // top-20 candidates, exact-cosine rerank (e1/e3 machinery) — every
+    // step mirrored 1:1; code dots are integer-valued, exact in any order
+    "e7_sq_topk" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |s AS (SELECT vec_id, embedding,
+        |  list_aggregate([abs(CAST(embedding[i] AS DOUBLE))
+        |                  for i in range(1, len(embedding) + 1)], 'max') / 127.0 AS scale
+        |  FROM e),
+        |cd AS (SELECT vec_id,
+        |  CASE WHEN scale > 0
+        |    THEN [round(CAST(embedding[i] AS DOUBLE) / scale)
+        |          for i in range(1, len(embedding) + 1)]
+        |    ELSE [0.0 for i in range(1, len(embedding) + 1)] END AS codes
+        |  FROM s),
+        |q AS (SELECT vec_id, codes,
+        |  sqrt(list_aggregate([codes[i] * codes[i]
+        |                       for i in range(1, len(codes) + 1)], 'sum')) AS qn
+        |  FROM cd),
+        |scan AS (SELECT qq.vec_id AS query_id, nn.vec_id AS neighbor_id,
+        |  list_aggregate([qq.codes[i] * nn.codes[i]
+        |                  for i in range(1, len(qq.codes) + 1)], 'sum') / (qq.qn * nn.qn) AS qcos
+        |  FROM q qq JOIN q nn ON qq.vec_id < 3 AND qq.vec_id <> nn.vec_id
+        |  WHERE qq.qn > 0 AND nn.qn > 0),
+        |cand AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY qcos DESC, neighbor_id ASC) AS qrank FROM scan)
+        |  WHERE qrank <= 20),
+        |sc AS (SELECT c.query_id, c.neighbor_id,
+        |  list_aggregate([CAST(qe.embedding[i] AS DOUBLE) * CAST(ne.embedding[i] AS DOUBLE)
+        |                  for i in range(1, len(qe.embedding) + 1)], 'sum') /
+        |  (sqrt(list_aggregate([CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE)
+        |                  for i in range(1, len(qe.embedding) + 1)], 'sum')) *
+        |   sqrt(list_aggregate([CAST(ne.embedding[i] AS DOUBLE) * CAST(ne.embedding[i] AS DOUBLE)
+        |                  for i in range(1, len(ne.embedding) + 1)], 'sum'))) AS cosine
+        |  FROM cand c JOIN e qe ON qe.vec_id = c.query_id
+        |  JOIN e ne ON ne.vec_id = c.neighbor_id)
+        |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sc)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
 }

@@ -954,4 +954,67 @@ object DocOps {
       .select(col("doc_id"),
         md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fp"))
       .orderBy("doc_id")
+
+  /** 2^40 — the (src_rank, doc_id) packing base for [[priorityDedupOf]].
+    * doc ids stay far below it at any SF; rank * 2^40 + doc_id is exact in
+    * a BIGINT on both engines (max rank 999,999 < 2^20 -> packed < 2^60). */
+  private val PriorityPackBase = 1099511627776L
+
+  /** d24 — cross-source priority dedup: when the same content appears in
+    * several sources, keep the copy from the BEST-ranked source (the
+    * standard CC-pipeline rule: a Wikipedia copy outranks a CommonCrawl
+    * scrape of the same page), ties by smallest doc_id. Source rank here is
+    * the numeric suffix of the source name (src3 -> 3, lower is better;
+    * unrankable sources sort last at 999999) — a production deployment
+    * swaps in its own rank expression without touching the plan.
+    *
+    * Shape is the repo keep-first rule: min over a packed (rank, doc_id)
+    * BIGINT in ONE content-hash agg + a join-back — never a window over the
+    * raw corpus (the mega-duplicate-class skew trap). Emits one row per doc
+    * with its keep decision, so the op composes as a funnel gate. */
+  def priorityDedup(spark: SparkSession, dir: String): DataFrame =
+    priorityDedupOf(docs(spark, dir))
+
+  private[graft] def priorityDedupOf(df: DataFrame): DataFrame = {
+    val rank = coalesce(
+      expr("try_cast(regexp_extract(source, '([0-9]+)$', 1) as bigint)"),
+      lit(999999L))
+    val keyed = df
+      .withColumn("h", md5(col("text")))
+      .withColumn("src_rank", rank)
+      .withColumn("packed", col("src_rank") * lit(PriorityPackBase) + col("doc_id"))
+    val kept = keyed.groupBy("h")
+      .agg(min("packed").as("kp"), count(lit(1)).as("n_copies"))
+    keyed.join(kept, Seq("h"))
+      .select(
+        col("doc_id"), col("source"), col("src_rank"),
+        (col("packed") === col("kp")).cast("bigint").as("kept"),
+        (col("kp") % lit(PriorityPackBase)).as("kept_by"),
+        col("n_copies"))
+      .orderBy("doc_id")
+  }
+
+  /** d25 — adjacent-token-pair counts, the inner step of BPE/WordPiece
+    * vocabulary induction (count all adjacent pairs, merge the most
+    * frequent): global bigram frequencies, top `topK` by count then bigram.
+    * Projection + explode + ONE partially-agg'd groupBy over the bigram
+    * key + TakeOrdered — nothing corpus-global beyond the final top-K, so
+    * the shape is d1's at any corpus size. A full BPE loop re-runs this
+    * query per merge round over the re-tokenized corpus. */
+  def bigramVocab(spark: SparkSession, dir: String, topK: Int = 50): DataFrame =
+    bigramVocabOf(docs(spark, dir), topK)
+
+  private[graft] def bigramVocabOf(df: DataFrame, topK: Int): DataFrame = {
+    require(topK >= 1, s"bigramVocab needs topK >= 1, got $topK")
+    val bigrams = expr(
+      "transform(sequence(1, size(toks) - 1), " +
+        "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1)))")
+    df.withColumn("toks", toks)
+      .filter(size(col("toks")) >= 2)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(topK)
+  }
 }

@@ -360,6 +360,78 @@ object EmbedOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** e7 — int8 scalar-quantized NN scan with exact rerank (the faiss
+    * SQ8-flat pattern): every vector is quantized to integer codes in
+    * [-127, 127] with a per-vector scale (max|component| / 127), candidates
+    * are ranked by the cosine of the CODE vectors (4x less memory traffic
+    * per candidate at 100 TB — the scan reads 64 bytes of codes instead of
+    * 256 bytes of float32), and the top `k * overfetch` per query are
+    * re-ranked by the exact float cosine.
+    *
+    * Every arithmetic step is oracle-exact: the scale is one double
+    * division, the codes are round-half-away-from-zero (Spark HALF_UP ==
+    * DuckDB/C round — the Lloyd fixed-point path already relies on this),
+    * and the code-cosine numerator/denominator are integer-valued doubles
+    * (|code| <= 127, dim 64 -> |dot| <= 127^2*64 ~ 1.03e6, exact in a
+    * double in any summation order). The final exact-cosine rerank is the
+    * e1/e3 machinery unchanged.
+    *
+    * Scale shape: the coded frame feeds both the query side and the
+    * neighbor side of the scan, so it is persisted; the scan itself is a
+    * broadcast of nQueries code rows against the coded corpus (never
+    * corpus x corpus); at production scale the quantized scan composes
+    * with the e4 cell restriction (scan only the probed cells). */
+  def sqTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 3,
+             overfetch: Int = 4): DataFrame = {
+    val e = emb(spark, dir)
+    val coded = e
+      .select(col("vec_id"), col("embedding"),
+        (array_max(transform(col("embedding"), x => abs(x.cast("double")))) / lit(127.0))
+          .as("scale"))
+      .withColumn("codes",
+        when(col("scale") > 0,
+          transform(col("embedding"), x => round(x.cast("double") / col("scale"))))
+          .otherwise(transform(col("embedding"), _ => lit(0.0))))
+      .select(col("vec_id"), col("codes"), sqrt(dot(col("codes"), col("codes"))).as("qn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val qCodes = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("codes").as("qc"), col("qn").as("qnq"))
+    val scan = broadcast(qCodes)
+      .crossJoin(coded.select(col("vec_id").as("neighbor_id"), col("codes").as("nc"),
+        col("qn").as("qnn")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qcos", cosineFromNorms(dot(col("qc"), col("nc")), col("qnq"), col("qnn")))
+      .filter(col("qcos").isNotNull)
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    val cands = scan
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= k * overfetch)
+      .select("query_id", "neighbor_id")
+
+    // exact rerank — the e3 candidate-join machinery
+    val qv = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm(col("embedding")).as("nq"))
+    val rer = cands
+      .join(broadcast(qv), Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        norm(col("embedding")).as("nn")), Seq("neighbor_id"))
+      .withColumn("cosine", cosineFromNorms(dot(col("qv"), col("nv")), col("nq"), col("nn")))
+      .filter(col("cosine").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    rer
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** LSH-bucketed approximate NN (scale path, verified in tests against the
     * brute-force baseline): `nPlanes` deterministic pseudo-random
     * hyperplanes (seeded per (plane, dim) — no RNG state, reproducible on

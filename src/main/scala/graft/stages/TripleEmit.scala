@@ -234,4 +234,40 @@ object TripleEmit {
       .groupBy("envo_a", "envo_b")
       .agg(count(lit(1)).as("n_convs"))
   }
+
+  /** o15 — association strength for each co-occurring concept pair:
+    * lift = P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b) over conversations
+    * (N = conversations with ≥1 scored concept). lift > 1 means the pair
+    * co-occurs more than independence predicts; PMI is ln(lift), monotone
+    * in it — the ratio is emitted instead of the log because one exact
+    * double division is bit-identical across engines while ln is only
+    * faithfully rounded per libm (the repo's exact-numerics rule).
+    *
+    * Scale shape: the distinct (conv, envo) frame feeds the pair join
+    * (twice) and the marginals, so it is persisted; marginals and the
+    * scalar total are |EnvO|-bounded and broadcast back onto the pair
+    * counts — nothing after the coOccurrence agg shuffles the corpus.
+    * All integer products stay < 2^53, exact as doubles. */
+  def coOccurrenceLift(spark: SparkSession, scores: DataFrame, dict: EnvoDict,
+                       assumeDistinct: Boolean = false): DataFrame = {
+    val d0 =
+      if (assumeDistinct) scores.select("conv_id", "envo")
+      else scores.select("conv_id", "envo").distinct()
+    val d = d0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = coOccurrence(d, assumeDistinct = true)
+    val marg = d.groupBy("envo").agg(count(lit(1)).as("n"))
+    val total = d.agg(countDistinct("conv_id").as("n_total"))
+    val dim = Canonicalize.conceptFrame(spark, dict).select("envo", "curie")
+    pairs
+      .join(broadcast(marg.toDF("envo_a", "n_a")), "envo_a")
+      .join(broadcast(marg.toDF("envo_b", "n_b")), "envo_b")
+      .crossJoin(broadcast(total))
+      .join(broadcast(dim.toDF("envo_a", "curie_a")), "envo_a")
+      .join(broadcast(dim.toDF("envo_b", "curie_b")), "envo_b")
+      .select(
+        col("curie_a").as("subj"), col("curie_b").as("obj"),
+        col("n_convs"),
+        ((col("n_convs") * col("n_total")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
 }

@@ -637,6 +637,77 @@ class OpsSpec extends SparkSpec {
     assert(rows(5L) === ((4, 1, "so")))
   }
 
+  test("SQ top-k: rerank cosines exact, recall vs brute force") {
+    val brute = EmbedOps.cosineTopK(spark, dir, k = 5, nQueries = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val sq = EmbedOps.sqTopK(spark, dir, k = 5, nQueries = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // the rerank stage recomputes the EXACT cosine — any neighbor both
+    // rankings agree on must carry the identical value
+    val common = brute.keySet intersect sq.keySet
+    common.foreach(k => assert(brute(k) === sq(k)))
+    val recall = common.size.toDouble / brute.size
+    info(f"SQ recall@5 = $recall%.2f (int8 codes, 4x overfetch)")
+    assert(recall >= 0.85, s"recall $recall below the int8+overfetch level")
+  }
+
+  test("priority dedup: best-ranked source wins, ties by doc_id") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "srcX", "aaa"), // unrankable suffix -> rank 999999, never wins
+      (1L, "src2", "aaa"),
+      (2L, "src1", "aaa"),
+      (3L, "src1", "aaa"), // same rank as doc 2 -> doc_id tie-break
+      (4L, "src0", "solo")
+    ).toDF("doc_id", "source", "text")
+    val r = DocOps.priorityDedupOf(df).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    // group "aaa": ranks (999999, 2, 1, 1) -> kept = doc 2 (rank 1, min id)
+    assert(r(2L) === ((1L, 1L, 2L, 4L)))
+    Seq(0L, 1L, 3L).foreach(id => assert(r(id)._2 === 0L, s"doc $id kept"))
+    assert(r(0L)._1 === 999999L)
+    Seq(0L, 1L, 3L).foreach(id => assert(r(id)._3 === 2L, s"doc $id kept_by"))
+    assert(r(4L) === ((0L, 1L, 4L, 1L)))
+  }
+
+  test("bigram vocab: hand-computed pair counts, deterministic top-K cut") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "a b a b"), // pairs: "a b", "b a", "a b"
+      (1L, "a b c"),   // pairs: "a b", "b c"
+      (2L, "x")        // no pairs
+    ).toDF("doc_id", "text")
+    val all = DocOps.bigramVocabOf(df, 10).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toSeq
+    assert(all === Seq("a b" -> 3L, "b a" -> 1L, "b c" -> 1L))
+    // the cut keeps the count-then-bigram order prefix
+    val cut = DocOps.bigramVocabOf(df, 2).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toSeq
+    assert(cut === all.take(2))
+    intercept[IllegalArgumentException](DocOps.bigramVocabOf(df, 0))
+  }
+
+  test("co-occurrence lift: exact independence ratio on a hand-built frame") {
+    import spark.implicits._
+    val dict = graft.dict.EnvoDict.load()
+    val ids = dict.intToCurie.keys.toSeq.sorted.take(3)
+    val (ea, eb, ec) = (ids(0), ids(1), ids(2))
+    // ea in convs 1-3, eb in convs 2-3, ec in conv 4 -> N = 4 convs,
+    // one pair (ea, eb): n_ab = 2, lift = 2*4 / (3*2)
+    val scores = Seq(
+      ("c1", ea), ("c2", ea), ("c3", ea),
+      ("c2", eb), ("c3", eb),
+      ("c4", ec)).toDF("conv_id", "envo").withColumn("score", lit(1.0))
+    val rows = graft.stages.TripleEmit.coOccurrenceLift(spark, scores, dict).collect()
+    assert(rows.length === 1)
+    val row = rows.head
+    assert(row.getString(0) === dict.intToCurie(ea))
+    assert(row.getString(1) === dict.intToCurie(eb))
+    assert(row.getLong(2) === 2L)
+    assert(row.getDouble(3) === 8.0 / 6.0)
+  }
+
   test("exact dedup: every group keeps its minimum doc_id") {
     val d = DocOps.exactDedup(spark, dir)
     assert(d.count() > 0)
