@@ -161,6 +161,16 @@ object SparkEntry {
       graft.stages.TripleEmit.coOccurrenceLift(s, scores, restrictedDict)
         .orderBy("subj", "obj")
     }),
+    // o16: the co-occurrence graph's node table — per-concept degree and
+    // total pair-conversation strength (the relational form of the graph
+    // summary the reference renders as a picture)
+    "o16_concept_degrees" -> ((s, d) => {
+      val scores = graft.stages.LinkScore.score(s, restrictedEnvoRows(s, d), restrictedDict,
+        graft.stages.ScoreConfig(normalization = "flat", proportional = true))
+      graft.stages.TripleEmit.conceptDegrees(s,
+          graft.stages.TripleEmit.coOccurrence(scores), restrictedDict)
+        .orderBy("curie")
+    }),
     // The scorer's ui normalization path (A2: duplicate texts within a
     // conversation counted once — the production Salting.keepFirstByAgg on
     // (conv, text_hash)) under the gate: o4's reshaping minus the tool step.
@@ -1859,6 +1869,35 @@ object SparkEntry {
          |JOIN ec ca ON ca.envo = p.envo_a
          |JOIN ec cb ON cb.envo = p.envo_b
          |ORDER BY subj, obj""".stripMargin,
+    // o16: o3's pair CTEs verbatim, both pair sides unioned into one
+    // per-concept agg (sum cast to BIGINT — DuckDB's HUGEINT prints "1.0")
+    "o16_concept_degrees" ->
+      s"""WITH fe(form, envo) AS (VALUES
+         |$restrictedFormEnvoValues),
+         |ec(envo, curie) AS (VALUES
+         |$restrictedEnvoCurieValues),
+         |t AS (SELECT doc_id, text ||
+         |  CASE doc_id % 5 WHEN 0 THEN ' the ocean meets the sea near the ocean'
+         |                  WHEN 1 THEN ' mud by the lake and garden mud'
+         |                  WHEN 2 THEN ' OCEAN stays blocked but pond counts'
+         |                  ELSE '' END AS t2
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(t2, '[^A-Za-z0-9]+'), x -> x <> '')) AS raw
+         |  FROM t),
+         |m AS (SELECT doc_id, lower(raw) AS form FROM tok
+         |  WHERE lower(raw) IN ('ocean', 'sea', 'lake', 'mud', 'garden', 'pond')
+         |    AND $restrictedStopPredicate),
+         |de AS (SELECT DISTINCT doc_id, envo FROM m JOIN fe USING (form)),
+         |p AS (SELECT a.envo AS envo_a, b.envo AS envo_b, count(*) AS n_convs
+         |  FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.envo < b.envo
+         |  GROUP BY 1, 2),
+         |u AS (SELECT envo_a AS envo, n_convs FROM p
+         |      UNION ALL SELECT envo_b AS envo, n_convs FROM p)
+         |SELECT ec.curie, count(*) AS degree,
+         |       CAST(sum(n_convs) AS BIGINT) AS pair_convs
+         |FROM u JOIN ec USING (envo)
+         |GROUP BY 1 ORDER BY curie""".stripMargin,
     // e7: quantization (scale, round-half-away codes), code-cosine scan,
     // top-20 candidates, exact-cosine rerank (e1/e3 machinery) — every
     // step mirrored 1:1; code dots are integer-valued, exact in any order

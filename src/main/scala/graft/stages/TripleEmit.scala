@@ -235,6 +235,24 @@ object TripleEmit {
       .agg(count(lit(1)).as("n_convs"))
   }
 
+  /** o16 — the graph summary the reference renders visually
+    * (seqenv/outputs.py draws the concept graph; this emits its node
+    * table): per-concept degree (distinct co-occurring partners) and
+    * strength (total pair-conversation count across those partners) from
+    * the canonical-order pair frame. `pairs` is a coOccurrence output —
+    * bounded ≤ |EnvO|² rows — so everything here (the two-sided union, the
+    * agg, the broadcast dim join) is model-state-sized; nothing touches
+    * the corpus again. */
+  def conceptDegrees(spark: SparkSession, pairs: DataFrame, dict: EnvoDict): DataFrame = {
+    val sides = pairs.select(col("envo_a").as("envo"), col("n_convs"))
+      .unionAll(pairs.select(col("envo_b").as("envo"), col("n_convs")))
+    val dim = Canonicalize.conceptFrame(spark, dict).select("envo", "curie")
+    sides.groupBy("envo")
+      .agg(count(lit(1)).as("degree"), sum("n_convs").as("pair_convs"))
+      .join(broadcast(dim), "envo")
+      .select(col("curie"), col("degree"), col("pair_convs"))
+  }
+
   /** o15 — association strength for each co-occurring concept pair:
     * lift = P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b) over conversations
     * (N = conversations with ≥1 scored concept). lift > 1 means the pair

@@ -708,6 +708,26 @@ class OpsSpec extends SparkSpec {
     assert(row.getDouble(3) === 8.0 / 6.0)
   }
 
+  test("concept degrees: both pair sides counted, strength sums conversations") {
+    import spark.implicits._
+    val dict = graft.dict.EnvoDict.load()
+    val ids = dict.intToCurie.keys.toSeq.sorted.take(3)
+    val (ea, eb, ec) = (ids(0), ids(1), ids(2))
+    // pairs: (ea,eb) in c2,c3 and (ea,ec) in c4 ->
+    // ea: degree 2 / 3 convs, eb: 1 / 2, ec: 1 / 1
+    val scores = Seq(
+      ("c1", ea), ("c2", ea), ("c3", ea), ("c4", ea),
+      ("c2", eb), ("c3", eb),
+      ("c4", ec)).toDF("conv_id", "envo").withColumn("score", lit(1.0))
+    val pairs = graft.stages.TripleEmit.coOccurrence(scores)
+    val rows = graft.stages.TripleEmit.conceptDegrees(spark, pairs, dict).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows === Map(
+      dict.intToCurie(ea) -> ((2L, 3L)),
+      dict.intToCurie(eb) -> ((1L, 2L)),
+      dict.intToCurie(ec) -> ((1L, 1L))))
+  }
+
   test("exact dedup: every group keeps its minimum doc_id") {
     val d = DocOps.exactDedup(spark, dir)
     assert(d.count() > 0)

@@ -270,6 +270,54 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
+  test("d24 priority dedup is agg + join-back, never a window over raw rows") {
+    // the keep-best decision must come from min(packed) in ONE content-hash
+    // aggregation joined back — a window over the raw corpus serializes the
+    // mega-duplicate-class (millions of copies of one boilerplate page land
+    // in a single window partition at 100 TB)
+    val p = plan(graft.ops.DocOps.priorityDedup(spark, dir))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("d25 bigram vocab is join-free with a fused TakeOrdered cut") {
+    // projection + explode + one partial-agg'd groupBy; the top-K must be
+    // TakeOrderedAndProject (per-partition heads merged on the driver), not
+    // a global sort exchange of every distinct bigram
+    val p = plan(graft.ops.DocOps.bigramVocab(spark, dir))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("e7 SQ scan broadcasts the query codes and persists the coded frame") {
+    // the candidate scan is broadcast(nQueries code rows) x corpus — an
+    // unhinted plan would CartesianProduct corpus x corpus; and the
+    // quantization pipeline feeds both scan sides, so it must be cached
+    val p = plan(graft.ops.EmbedOps.sqTopK(spark, dir))
+    try {
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("InMemoryTableScan"), p)
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("o15 lift joins marginals and dims broadcast onto the pair counts") {
+    import spark.implicits._
+    val dict = graft.dict.EnvoDict.load()
+    val ids = dict.intToCurie.keys.toSeq.sorted.take(2)
+    val scores = Seq(("c1", ids(0)), ("c1", ids(1)), ("c2", ids(0)))
+      .toDF("conv_id", "envo")
+      .withColumn("score", org.apache.spark.sql.functions.lit(1.0))
+    val p = plan(graft.stages.TripleEmit.coOccurrenceLift(spark, scores, dict))
+    try {
+      // the ONLY corpus-grain join allowed is the within-conv pair
+      // self-join; marginals, the scalar total, and the concept dim are
+      // |EnvO|-bounded and must arrive as broadcasts
+      assert(p.contains("BroadcastHashJoin"), p)
+      val smjCount = "SortMergeJoin".r.findAllIn(p).length
+      assert(smjCount <= 1, s"only the pair self-join may sort-merge:\n$p")
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
+
   test("injected-dictionary tag_envo is also whole-stage-codegen'd") {
     // the broadcast-handle path generates different code (mutable-state
     // automaton resolved from the broadcast once per generated instance) —
