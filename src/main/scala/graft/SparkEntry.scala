@@ -87,6 +87,11 @@ object SparkEntry {
     // pair source remains covered by ComponentsSpec.
     "d9_dup_clusters" -> ((s, d) =>
       graft.ops.Components.dupClusters(s, DocOps.ngramJaccardPairs(s, d))),
+    // d26: the train/eval split keyed by d9's cluster representative —
+    // near-dup classes never straddle the split (the doc-keyed split's
+    // eval-leakage bug); the whole pairs→components→bucket chain is under
+    // the recursive-CTE oracle, singletons keep their own id as the key
+    "d26_cluster_split" -> ((s, d) => DocOps.clusterSplit(s, d)),
     // O1 — the tagger primitive under the driver's DuckDB gate: restricted
     // to single-token dictionary forms, longest-leftmost tagging degenerates
     // to token equality, which IS SQL-expressible. The REAL automaton runs
@@ -168,6 +173,17 @@ object SparkEntry {
       val scores = graft.stages.LinkScore.score(s, restrictedEnvoRows(s, d), restrictedDict,
         graft.stages.ScoreConfig(normalization = "flat", proportional = true))
       graft.stages.TripleEmit.conceptDegrees(s,
+          graft.stages.TripleEmit.coOccurrence(scores), restrictedDict)
+        .orderBy("curie")
+    }),
+    // o17: walk centrality — three exact-integer power-iteration steps
+    // x_{k+1} = A·x_k over the co-occurrence weight matrix (eigenvector-
+    // centrality direction: which concepts hub the KG); the only division
+    // is the final share, one exact double op over two integers
+    "o17_walk_centrality" -> ((s, d) => {
+      val scores = graft.stages.LinkScore.score(s, restrictedEnvoRows(s, d), restrictedDict,
+        graft.stages.ScoreConfig(normalization = "flat", proportional = true))
+      graft.stages.TripleEmit.walkCentrality(s,
           graft.stages.TripleEmit.coOccurrence(scores), restrictedDict)
         .orderBy("curie")
     }),
@@ -896,6 +912,38 @@ object SparkEntry {
         |SELECT comp.id AS doc_id, comp.representative, csize.cluster_size
         |FROM comp JOIN csize USING (representative)
         |ORDER BY representative, doc_id""".stripMargin,
+    // d26: d9's pairs→components CTEs verbatim, left-joined onto the full
+    // corpus (singletons key by their own id), then d12's md5 bucket over
+    // the representative; cut = 0.75 * 2^24
+    "d26_cluster_split" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g0 AS (SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS g
+        |  FROM t WHERE len(toks) >= 3),
+        |stop AS (SELECT g FROM g0 GROUP BY g HAVING count(*) > 50),
+        |g AS (SELECT * FROM g0 WHERE g NOT IN (SELECT g FROM stop)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |inter AS (SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, count(*) AS common
+        |  FROM g ga JOIN g gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b
+        |  FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        |  WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.22),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |walk(id, label) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON w.id = e.src),
+        |comp AS (SELECT id, min(label) AS representative FROM walk GROUP BY 1),
+        |s AS (SELECT d.doc_id, COALESCE(c.representative, d.doc_id) AS representative
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+        |SELECT doc_id, representative,
+        |  CASE WHEN ('0x' || substr(md5(CAST(representative AS VARCHAR)), 1, 6))::BIGINT
+        |         < 12582912 THEN 'train' ELSE 'eval' END AS split
+        |FROM s ORDER BY doc_id""".stripMargin,
     "d10_boilerplate_ngrams" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
@@ -1898,6 +1946,43 @@ object SparkEntry {
          |       CAST(sum(n_convs) AS BIGINT) AS pair_convs
          |FROM u JOIN ec USING (envo)
          |GROUP BY 1 ORDER BY curie""".stripMargin,
+    // o17: o16's pair CTEs verbatim, then three integer power-iteration
+    // steps (sums of integer products — exact in any order on both
+    // engines) and the one exact double division for the share
+    "o17_walk_centrality" ->
+      s"""WITH fe(form, envo) AS (VALUES
+         |$restrictedFormEnvoValues),
+         |ec(envo, curie) AS (VALUES
+         |$restrictedEnvoCurieValues),
+         |t AS (SELECT doc_id, text ||
+         |  CASE doc_id % 5 WHEN 0 THEN ' the ocean meets the sea near the ocean'
+         |                  WHEN 1 THEN ' mud by the lake and garden mud'
+         |                  WHEN 2 THEN ' OCEAN stays blocked but pond counts'
+         |                  ELSE '' END AS t2
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(t2, '[^A-Za-z0-9]+'), x -> x <> '')) AS raw
+         |  FROM t),
+         |m AS (SELECT doc_id, lower(raw) AS form FROM tok
+         |  WHERE lower(raw) IN ('ocean', 'sea', 'lake', 'mud', 'garden', 'pond')
+         |    AND $restrictedStopPredicate),
+         |de AS (SELECT DISTINCT doc_id, envo FROM m JOIN fe USING (form)),
+         |p AS (SELECT a.envo AS envo_a, b.envo AS envo_b, count(*) AS n_convs
+         |  FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.envo < b.envo
+         |  GROUP BY 1, 2),
+         |e AS (SELECT envo_a AS src, envo_b AS dst, n_convs AS w FROM p
+         |      UNION ALL SELECT envo_b, envo_a, n_convs FROM p),
+         |x1 AS (SELECT src, CAST(sum(w) AS BIGINT) AS x FROM e GROUP BY 1),
+         |x2 AS (SELECT e.src, CAST(sum(e.w * x1.x) AS BIGINT) AS x
+         |  FROM e JOIN x1 ON x1.src = e.dst GROUP BY 1),
+         |x3 AS (SELECT e.src, CAST(sum(e.w * x2.x) AS BIGINT) AS x
+         |  FROM e JOIN x2 ON x2.src = e.dst GROUP BY 1),
+         |tot AS (SELECT CAST(sum(x) AS BIGINT) AS wt FROM x3)
+         |SELECT ec.curie, x1.x AS walk1, x2.x AS walk2, x3.x AS walk3,
+         |  CAST(x3.x AS DOUBLE) / CAST(tot.wt AS DOUBLE) AS share
+         |FROM x1 JOIN x2 USING (src) JOIN x3 USING (src) CROSS JOIN tot
+         |JOIN ec ON ec.envo = x1.src
+         |ORDER BY curie""".stripMargin,
     // e7: quantization (scale, round-half-away codes), code-cosine scan,
     // top-20 candidates, exact-cosine rerank (e1/e3 machinery) — every
     // step mirrored 1:1; code dots are integer-valued, exact in any order

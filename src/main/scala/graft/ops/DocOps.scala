@@ -1017,4 +1017,39 @@ object DocOps {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(topK)
   }
+
+  /** d26 — cluster-aware train/eval split: the holdout assignment is keyed
+    * by each document's near-dup CLUSTER representative, not the document
+    * itself, so near-duplicates can never straddle the split (the classic
+    * leakage bug a doc-keyed split has: train and eval each get one copy
+    * of a near-dup pair and the eval set silently overlaps the training
+    * distribution). Clusters come from the d6→d9 pairs→components chain;
+    * docs with no near-dup are their own singleton cluster. The bucket is
+    * d12's stable md5 construction over the representative id —
+    * deterministic, RNG-free, identical at any cluster size.
+    *
+    * Scale shape: the cluster frame only holds docs that HAVE a near-dup
+    * (typically a few % of a deduplicated corpus), the left join is a
+    * plain doc_id equi-join, and everything after it is a projection —
+    * nothing corpus-global beyond what d9 already paid. */
+  def clusterSplit(spark: SparkSession, dir: String,
+                   trainFrac: Double = 0.75): DataFrame =
+    clusterSplitOf(docs(spark, dir).select("doc_id"),
+      Components.dupClusters(spark, ngramJaccardPairs(spark, dir)), trainFrac)
+
+  private[graft] def clusterSplitOf(docIds: DataFrame, clusters: DataFrame,
+                                    trainFrac: Double): DataFrame = {
+    require(trainFrac > 0.0 && trainFrac < 1.0,
+      s"clusterSplit needs 0 < trainFrac < 1, got $trainFrac")
+    val cut = (trainFrac * (1 << 24)).toLong
+    docIds
+      .join(clusters.select(col("doc_id"), col("representative")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("representative"), col("doc_id")).as("representative"))
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(cast(representative as string)), 1, 6), 16, 10) as bigint)"))
+      .select(col("doc_id"), col("representative"),
+        when(col("bucket") < cut, "train").otherwise("eval").as("split"))
+      .orderBy("doc_id")
+  }
 }

@@ -288,4 +288,48 @@ object TripleEmit {
         ((col("n_convs") * col("n_total")).cast("double") /
           (col("n_a") * col("n_b")).cast("double")).as("lift"))
   }
+
+  /** o17 — walk centrality over the concept co-occurrence graph: the
+    * un-normalized power iteration x_{k+1} = A·x_k from x_0 = 1, where A is
+    * the symmetric pair-conversation weight matrix. walk_k(v) counts the
+    * weighted k-step walks ending at v, and walk_3/Σwalk_3 converges on
+    * eigenvector centrality — which concepts sit at the hub of the KG.
+    * Kept UN-normalized on purpose: every iterate is an exact integer
+    * (bit-identical under any summation order, the repo's exact-numerics
+    * rule), and the only division is the final share — one exact double op.
+    *
+    * Scale shape: `pairs` is a coOccurrence output, bounded ≤ |EnvO|² rows,
+    * so the edge frame is model-state-sized (persisted — it feeds every
+    * iteration) and each iteration is one broadcast join + one tiny agg;
+    * nothing here re-touches the corpus. Iterations are capped: the
+    * iterates grow like (|EnvO|·w_max)^k and must stay well under 2^63. */
+  def walkCentrality(spark: SparkSession, pairs: DataFrame, dict: EnvoDict,
+                     iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 6,
+      s"walkCentrality needs 1 <= iters <= 6 (integer overflow bound), got $iters")
+    val edges = pairs.select(
+        col("envo_a").as("src"), col("envo_b").as("dst"), col("n_convs").as("w"))
+      .unionAll(pairs.select(
+        col("envo_b").as("src"), col("envo_a").as("dst"), col("n_convs").as("w")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // x_1 = A·1; x_{k+1} = A·x_k. Positive weights + symmetric edges mean
+    // every node with an edge appears in every iterate (inner joins safe).
+    val iterates = Iterator.iterate(
+        edges.groupBy("src").agg(sum("w").as("x"))) { x =>
+      edges.join(broadcast(x.toDF("dst", "px")), "dst")
+        .groupBy("src").agg(sum(col("w") * col("px")).as("x"))
+    }.take(iters).toSeq
+    val named = iterates.zipWithIndex.map { case (x, i) =>
+      x.toDF("src", s"walk${i + 1}")
+    }
+    val joined = named.reduce(_.join(_, "src"))
+    val last = s"walk$iters"
+    val total = named.last.agg(sum(last).as("walk_total"))
+    val dim = Canonicalize.conceptFrame(spark, dict).select("envo", "curie")
+    joined
+      .crossJoin(broadcast(total))
+      .join(broadcast(dim.withColumnRenamed("envo", "src")), "src")
+      .select(col("curie") +: (1 to iters).map(i => col(s"walk$i")) :+
+        (col(last).cast("double") / col("walk_total").cast("double")).as("share"): _*)
+  }
 }

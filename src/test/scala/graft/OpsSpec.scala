@@ -728,6 +728,62 @@ class OpsSpec extends SparkSpec {
       dict.intToCurie(ec) -> ((1L, 1L))))
   }
 
+  test("walk centrality: exact integer power iteration on a hand-built graph") {
+    import spark.implicits._
+    val dict = graft.dict.EnvoDict.load()
+    val ids = dict.intToCurie.keys.toSeq.sorted.take(3)
+    val (ea, eb, ec) = (ids(0), ids(1), ids(2))
+    // pairs: (ea,eb) in 2 convs, (ea,ec) in 1 -> w(A,B)=2, w(A,C)=1
+    // x1 = (3, 2, 1); x2 = (5, 6, 3); x3 = (15, 10, 5); total = 30
+    val scores = Seq(
+      ("c1", ea), ("c1", eb),
+      ("c2", ea), ("c2", eb),
+      ("c3", ea), ("c3", ec)).toDF("conv_id", "envo").withColumn("score", lit(1.0))
+    val pairs = graft.stages.TripleEmit.coOccurrence(scores)
+    try {
+      val rows = graft.stages.TripleEmit.walkCentrality(spark, pairs, dict).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      assert(rows === Map(
+        dict.intToCurie(ea) -> ((3L, 5L, 15L, 15.0 / 30.0)),
+        dict.intToCurie(eb) -> ((2L, 6L, 10L, 10.0 / 30.0)),
+        dict.intToCurie(ec) -> ((1L, 3L, 5L, 5.0 / 30.0))))
+      // the iters knob truncates the walk columns and renormalizes the share
+      val one = graft.stages.TripleEmit.walkCentrality(spark, pairs, dict, iters = 1)
+      assert(one.columns.toSeq === Seq("curie", "walk1", "share"))
+      intercept[IllegalArgumentException](
+        graft.stages.TripleEmit.walkCentrality(spark, pairs, dict, iters = 0))
+      intercept[IllegalArgumentException](
+        graft.stages.TripleEmit.walkCentrality(spark, pairs, dict, iters = 7))
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("cluster split: near-dup classes never straddle train/eval") {
+    import spark.implicits._
+    val docIds = (0L to 4L).map(Tuple1(_)).toDF("doc_id")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("doc_id", "representative")
+    val r = DocOps.clusterSplitOf(docIds, clusters, 0.75).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getString(2)))).toMap
+    assert(r.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    // a doc with no near-dup keeps its own id as the split key
+    assert(r(0L)._1 === 0L)
+    // same representative -> same split, unconditionally
+    assert(r(1L)._1 === 1L && r(2L)._1 === 1L && r(1L)._2 === r(2L)._2)
+    assert(r(3L)._1 === 3L && r(4L)._1 === 3L && r(3L)._2 === r(4L)._2)
+    // the bucket is the documented md5 construction (independent JDK digest)
+    def expected(rep: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(rep.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      val bucket = java.lang.Long.parseLong(hex.substring(0, 6), 16)
+      if (bucket < (0.75 * (1 << 24)).toLong) "train" else "eval"
+    }
+    (0L to 4L).foreach(id => assert(r(id)._2 === expected(r(id)._1), s"doc $id"))
+    intercept[IllegalArgumentException](DocOps.clusterSplitOf(docIds, clusters, 0.0))
+    intercept[IllegalArgumentException](DocOps.clusterSplitOf(docIds, clusters, 1.0))
+  }
+
   test("exact dedup: every group keeps its minimum doc_id") {
     val d = DocOps.exactDedup(spark, dir)
     assert(d.count() > 0)

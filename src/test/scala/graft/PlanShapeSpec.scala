@@ -318,6 +318,37 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.sharedState.cacheManager.clearCache()
   }
 
+  test("o17 walk iterates broadcast-join off one persisted edge frame") {
+    import spark.implicits._
+    val dict = graft.dict.EnvoDict.load()
+    val ids = dict.intToCurie.keys.toSeq.sorted.take(2)
+    val scores = Seq(("c1", ids(0)), ("c1", ids(1)), ("c2", ids(0)))
+      .toDF("conv_id", "envo")
+      .withColumn("score", org.apache.spark.sql.functions.lit(1.0))
+    val pairs = graft.stages.TripleEmit.coOccurrence(scores)
+    val p = plan(graft.stages.TripleEmit.walkCentrality(spark, pairs, dict))
+    try {
+      // every iteration re-reads the model-state edge frame through its
+      // cache (never re-running the upstream pair agg per iterate) and
+      // receives the |EnvO|-bounded previous iterate as a broadcast
+      assert(p.contains("InMemoryTableScan"), p)
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("d26 cluster split is a projection over one doc_id equi-join") {
+    import spark.implicits._
+    val docIds = (0L to 9L).map(Tuple1(_)).toDF("doc_id")
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "representative")
+    val p = plan(graft.ops.DocOps.clusterSplitOf(docIds, clusters, 0.75))
+    // the split label derives from the representative alone: no window
+    // over the corpus, no cartesian — one equi-join then projections
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("injected-dictionary tag_envo is also whole-stage-codegen'd") {
     // the broadcast-handle path generates different code (mutable-state
     // automaton resolved from the broadcast once per generated instance) —
