@@ -302,7 +302,9 @@ object TripleEmit {
     * so the edge frame is model-state-sized (persisted — it feeds every
     * iteration) and each iteration is one broadcast join + one tiny agg;
     * nothing here re-touches the corpus. Iterations are capped: the
-    * iterates grow like (|EnvO|·w_max)^k and must stay well under 2^63. */
+    * iterates grow like (|EnvO|·w_max)^k and must stay well under 2^63 —
+    * and because the session runs ANSI mode, an extreme-scale overflow
+    * throws loudly instead of silently wrapping (drop `iters` then). */
   def walkCentrality(spark: SparkSession, pairs: DataFrame, dict: EnvoDict,
                      iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 6,

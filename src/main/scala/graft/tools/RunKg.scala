@@ -26,20 +26,35 @@ object RunKg {
     // Four sinks materialize: share the tagger output across them, and keep
     // the provenance columns in the shared frame because the mentions sink
     // here DOES write the spans (the one case mentionProvenance is for).
-    val result = new KgPipeline(spark,
+    val pipe = new KgPipeline(spark,
       PipelineConfig(score = ScoreConfig(norm, proportional, backtracking),
-        persistIntermediates = true, mentionProvenance = true)).run(turns.toDF)
+        persistIntermediates = true, mentionProvenance = true))
+    val result = pipe.run(turns.toDF)
 
     result.annotated.write.mode("overwrite").parquet(s"$outDir/annotated_with")
     result.mentionTriples.write.mode("overwrite").parquet(s"$outDir/mentions")
     result.coOccurrence.write.mode("overwrite").parquet(s"$outDir/cooccurrence")
     result.ontologyTriples.write.mode("overwrite").parquet(s"$outDir/ontology")
+    // Graph summary — the relational form of the concept graph the
+    // reference renders as a picture: node degrees (o16), lift-weighted
+    // edges (o15), walk centrality (o17). All are post-agg frames bounded
+    // by |EnvO|², so these sinks cost nothing at corpus scale; scores and
+    // the pair frame come off the run's shared caches.
+    import graft.stages.TripleEmit
+    TripleEmit.conceptDegrees(spark, result.coOccurrence, pipe.dict)
+      .write.mode("overwrite").parquet(s"$outDir/graph_summary/degrees")
+    TripleEmit.coOccurrenceLift(spark, result.scores, pipe.dict, assumeDistinct = true)
+      .write.mode("overwrite").parquet(s"$outDir/graph_summary/lift")
+    TripleEmit.walkCentrality(spark, result.coOccurrence, pipe.dict)
+      .write.mode("overwrite").parquet(s"$outDir/graph_summary/centrality")
     result.unpersist()
 
     val nAnnotated = spark.read.parquet(s"$outDir/annotated_with").count()
     val nMentions = spark.read.parquet(s"$outDir/mentions").count()
     val nCooc = spark.read.parquet(s"$outDir/cooccurrence").count()
+    val nNodes = spark.read.parquet(s"$outDir/graph_summary/degrees").count()
     println(s"turns=${turns.count()} annotated_with=$nAnnotated mentions=$nMentions cooccurrence=$nCooc")
+    println(s"graph_summary: nodes=$nNodes lift_edges=${spark.read.parquet(s"$outDir/graph_summary/lift").count()}")
     println("sample annotated_with triples:")
     spark.read.parquet(s"$outDir/annotated_with")
       .orderBy("subj", "obj").show(10, truncate = false)
