@@ -176,6 +176,19 @@ object SparkEntry {
           graft.stages.TripleEmit.coOccurrence(scores), restrictedDict)
         .orderBy("curie")
     }),
+    // o18: concept trend — per-(concept, day) conversation counts with the
+    // previous-day delta (the KG drift monitor); the day bucket is derived
+    // deterministically from doc_id (documents carry no timestamp) and
+    // mirrored verbatim in the oracle; counts/deltas are exact integers
+    "o18_concept_trend" -> ((s, d) => {
+      val scores = graft.stages.LinkScore.score(s, restrictedEnvoRows(s, d), restrictedDict,
+        graft.stages.ScoreConfig(normalization = "flat", proportional = true))
+      val convDays = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("string").as("conv_id"),
+          (col("doc_id") % 28).cast("int").as("day"))
+      graft.stages.TripleEmit.conceptTrend(s, scores, convDays, restrictedDict)
+        .orderBy("curie", "day")
+    }),
     // o17: walk centrality — three exact-integer power-iteration steps
     // x_{k+1} = A·x_k over the co-occurrence weight matrix (eigenvector-
     // centrality direction: which concepts hub the KG); the only division
@@ -1946,6 +1959,36 @@ object SparkEntry {
          |       CAST(sum(n_convs) AS BIGINT) AS pair_convs
          |FROM u JOIN ec USING (envo)
          |GROUP BY 1 ORDER BY curie""".stripMargin,
+    // o18: the shared tagged-doc CTEs, a doc_id-derived day bucket, one
+    // (envo, day) agg, and a lag window over the aggregated frame — all
+    // integers, exact on both engines
+    "o18_concept_trend" ->
+      s"""WITH fe(form, envo) AS (VALUES
+         |$restrictedFormEnvoValues),
+         |ec(envo, curie) AS (VALUES
+         |$restrictedEnvoCurieValues),
+         |t AS (SELECT doc_id, text ||
+         |  CASE doc_id % 5 WHEN 0 THEN ' the ocean meets the sea near the ocean'
+         |                  WHEN 1 THEN ' mud by the lake and garden mud'
+         |                  WHEN 2 THEN ' OCEAN stays blocked but pond counts'
+         |                  ELSE '' END AS t2
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(t2, '[^A-Za-z0-9]+'), x -> x <> '')) AS raw
+         |  FROM t),
+         |m AS (SELECT doc_id, lower(raw) AS form FROM tok
+         |  WHERE lower(raw) IN ('ocean', 'sea', 'lake', 'mud', 'garden', 'pond')
+         |    AND $restrictedStopPredicate),
+         |de AS (SELECT DISTINCT doc_id, envo FROM m JOIN fe USING (form)),
+         |cd AS (SELECT doc_id, CAST(doc_id % 28 AS INTEGER) AS day FROM documents),
+         |ct AS (SELECT envo, day, count(*) AS n FROM de JOIN cd USING (doc_id)
+         |  GROUP BY 1, 2),
+         |w AS (SELECT envo, day, n,
+         |  COALESCE(lag(n) OVER (PARTITION BY envo ORDER BY day), 0) AS prev FROM ct)
+         |SELECT ec.curie, w.day, CAST(w.n AS BIGINT) AS n_convs,
+         |  CAST(w.n - w.prev AS BIGINT) AS delta
+         |FROM w JOIN ec USING (envo)
+         |ORDER BY curie, day""".stripMargin,
     // o17: o16's pair CTEs verbatim, then three integer power-iteration
     // steps (sums of integer products — exact in any order on both
     // engines) and the one exact double division for the share

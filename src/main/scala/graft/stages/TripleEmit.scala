@@ -289,6 +289,36 @@ object TripleEmit {
           (col("n_a") * col("n_b")).cast("double")).as("lift"))
   }
 
+  /** o18 — concept trend over time: per-(concept, day) distinct-conversation
+    * counts with the previous-day delta — the drift monitor over the KG
+    * (which environment concepts are rising or falling across the corpus
+    * timeline). `convDays` maps each conversation to ONE orderable bucket
+    * (a date, a day index — the op is type-agnostic); callers derive it
+    * from turn timestamps (e.g. `to_date(min(ts))` per conversation).
+    *
+    * Scale shape: the (conv, envo) × (conv, day) join is conv_id-keyed —
+    * partition-LOCAL under the pipeline's conv_id layout — and the window
+    * runs over the AGGREGATED (envo, day) frame (≤ |EnvO|·days rows, the
+    * two-level-agg rule: never a window over raw occurrences). Counts and
+    * deltas are integers — exact on both engines. */
+  def conceptTrend(spark: SparkSession, scores: DataFrame, convDays: DataFrame,
+                   dict: EnvoDict, assumeDistinct: Boolean = false): DataFrame = {
+    val d =
+      if (assumeDistinct) scores.select("conv_id", "envo")
+      else scores.select("conv_id", "envo").distinct()
+    val counts = d.join(convDays.select("conv_id", "day"), "conv_id")
+      .groupBy("envo", "day")
+      .agg(count(lit(1)).as("n_convs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("envo").orderBy("day")
+    val dim = Canonicalize.conceptFrame(spark, dict).select("envo", "curie")
+    counts
+      .withColumn("prev", coalesce(lag("n_convs", 1).over(w), lit(0L)))
+      .join(broadcast(dim), "envo")
+      .select(col("curie"), col("day"), col("n_convs"),
+        (col("n_convs") - col("prev")).as("delta"))
+  }
+
   /** o17 — walk centrality over the concept co-occurrence graph: the
     * un-normalized power iteration x_{k+1} = A·x_k from x_0 = 1, where A is
     * the symmetric pair-conversation weight matrix. walk_k(v) counts the

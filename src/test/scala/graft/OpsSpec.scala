@@ -758,6 +758,28 @@ class OpsSpec extends SparkSpec {
     } finally spark.sharedState.cacheManager.clearCache()
   }
 
+  test("concept trend: per-day counts and deltas on a hand-built timeline") {
+    import spark.implicits._
+    val dict = graft.dict.EnvoDict.load()
+    val ids = dict.intToCurie.keys.toSeq.sorted.take(2)
+    val (ea, eb) = (ids(0), ids(1))
+    val scores = Seq(
+      ("c1", ea), ("c2", ea), ("c3", ea),
+      ("c3", eb), ("c4", eb)).toDF("conv_id", "envo").withColumn("score", lit(1.0))
+    val convDays = Seq(("c1", 1), ("c2", 1), ("c3", 2), ("c4", 5))
+      .toDF("conv_id", "day")
+    val rows = graft.stages.TripleEmit.conceptTrend(spark, scores, convDays, dict)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // ea: day1 n=2 (delta from nothing = 2), day2 n=1 (delta -1);
+    // eb: day2 n=1 (first bucket, delta 1), day5 n=1 (flat, delta 0)
+    assert(rows === Map(
+      (dict.intToCurie(ea), 1) -> ((2L, 2L)),
+      (dict.intToCurie(ea), 2) -> ((1L, -1L)),
+      (dict.intToCurie(eb), 2) -> ((1L, 1L)),
+      (dict.intToCurie(eb), 5) -> ((1L, 0L))))
+  }
+
   test("cluster split: near-dup classes never straddle train/eval") {
     import spark.implicits._
     val docIds = (0L to 4L).map(Tuple1(_)).toDF("doc_id")

@@ -337,6 +337,34 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.sharedState.cacheManager.clearCache()
   }
 
+  test("o18 trend window runs over the aggregated (envo, day) frame") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val dict = graft.dict.EnvoDict.load()
+    val ids = dict.intToCurie.keys.toSeq.sorted.take(2)
+    val scores = Seq(("c1", ids(0)), ("c1", ids(1)), ("c2", ids(0)))
+      .toDF("conv_id", "envo")
+      .withColumn("score", org.apache.spark.sql.functions.lit(1.0))
+    val convDays = Seq(("c1", 1), ("c2", 2)).toDF("conv_id", "day")
+    val df = graft.stages.TripleEmit.conceptTrend(spark, scores, convDays, dict)
+    df.collect() // finalize the adaptive plan before inspecting it
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+      case n => n +: n.children.flatMap(walk)
+    }
+    val plan = df.queryExecution.executedPlan
+    val wins = walk(plan).collect { case w: WindowExec => w }
+    // exactly one lag window, and it consumes the (envo, day) AGGREGATE —
+    // a window over raw (conv, envo) occurrences is the documented skew trap
+    assert(wins.length === 1, plan.toString)
+    assert(walk(wins.head.child).exists(_.isInstanceOf[HashAggregateExec]),
+      s"window must consume the (envo, day) aggregate:\n$plan")
+  }
+
   test("d26 cluster split is a projection over one doc_id equi-join") {
     import spark.implicits._
     val docIds = (0L to 9L).map(Tuple1(_)).toDF("doc_id")
