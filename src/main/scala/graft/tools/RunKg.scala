@@ -47,6 +47,14 @@ object RunKg {
       .write.mode("overwrite").parquet(s"$outDir/graph_summary/lift")
     TripleEmit.walkCentrality(spark, result.coOccurrence, pipe.dict)
       .write.mode("overwrite").parquet(s"$outDir/graph_summary/centrality")
+    // trend: each conversation's day = the date of its first turn (the
+    // conv-grain agg is conv_id-local under the pipeline layout)
+    import org.apache.spark.sql.functions.{col, min, to_date}
+    val convDays = turns.toDF.groupBy("conv_id")
+      .agg(to_date(min(col("ts"))).as("day"))
+    TripleEmit.conceptTrend(spark, result.scores, convDays, pipe.dict,
+        assumeDistinct = true)
+      .write.mode("overwrite").parquet(s"$outDir/graph_summary/trend")
     result.unpersist()
 
     val nAnnotated = spark.read.parquet(s"$outDir/annotated_with").count()
