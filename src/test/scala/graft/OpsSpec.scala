@@ -806,6 +806,21 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](DocOps.clusterSplitOf(docIds, clusters, 1.0))
   }
 
+  test("cluster split end-to-end: full corpus covered, no cluster straddles") {
+    val r = DocOps.clusterSplit(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(r.length.toLong === nDocs)
+    assert(r.map(_._1).distinct.length === r.length, "one row per doc")
+    // every near-dup cluster lands wholly on one side
+    r.groupBy(_._2).foreach { case (rep, docs) =>
+      assert(docs.map(_._3).distinct.length === 1, s"cluster $rep straddles") }
+    // and the real chain produces at least one multi-doc cluster plus both
+    // split labels at this SF (guards against a degenerate pass)
+    assert(r.groupBy(_._2).exists(_._2.length > 1), "no near-dup cluster found")
+    assert(r.map(_._3).distinct.sorted.toSeq === Seq("eval", "train"))
+  }
+
   test("exact dedup: every group keeps its minimum doc_id") {
     val d = DocOps.exactDedup(spark, dir)
     assert(d.count() > 0)

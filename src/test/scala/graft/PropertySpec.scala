@@ -66,6 +66,32 @@ class PropertySpec extends SparkSpec {
     assert(coalesced === base)
   }
 
+  test("walk centrality: shares sum to 1, walk1 == concept-degree strength") {
+    for (seed <- Seq(4L, 13L)) {
+      val tm = MentionDetect.detect(spark, turnsDf(seed, 40))
+      val sc = LinkScore.score(spark, MentionDetect.envoRows(tm),
+        KgPipeline.sharedDict, ScoreConfig())
+      val pairs = graft.stages.TripleEmit.coOccurrence(sc, assumeDistinct = true)
+        .persist()
+      try {
+        val cent = graft.stages.TripleEmit
+          .walkCentrality(spark, pairs, KgPipeline.sharedDict).collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(4)))).toMap
+        assert(cent.nonEmpty, s"seed=$seed produced no graph")
+        // the final share is a probability distribution over concepts
+        assert(math.abs(cent.values.map(_._2).sum - 1.0) < 1e-9, s"seed=$seed")
+        cent.foreach { case (c, (w1, sh)) =>
+          assert(w1 > 0L && sh > 0.0, s"seed=$seed $c non-positive") }
+        // cross-op consistency: walk1 is exactly o16's pair-conversation
+        // strength (both are the weighted degree of the same graph)
+        val strength = graft.stages.TripleEmit
+          .conceptDegrees(spark, pairs, KgPipeline.sharedDict).collect()
+          .map(r => r.getString(0) -> r.getLong(2)).toMap
+        assert(cent.view.mapValues(_._1).toMap === strength, s"seed=$seed")
+      } finally pairs.unpersist()
+    }
+  }
+
   test("mention spans: in-bounds, non-overlapping, never stoplisted") {
     val ac = KgPipeline.sharedAutomaton
     val dict = KgPipeline.sharedDict
