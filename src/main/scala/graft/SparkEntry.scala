@@ -176,6 +176,25 @@ object SparkEntry {
           graft.stages.TripleEmit.coOccurrence(scores), restrictedDict)
         .orderBy("curie")
     }),
+    // o19: ontology concept depth — the distributed min-hop BFS
+    // (Components.bfsDepths) over the restricted ancestor subgraph, joined
+    // with per-concept tagged-doc counts; the oracle recomputes the same
+    // walk with a recursive CTE over the identical VALUES edges
+    "o19_concept_depth" -> ((s, d) => {
+      import s.implicits._
+      val scores = graft.stages.LinkScore.score(s, restrictedEnvoRows(s, d), restrictedDict,
+        graft.stages.ScoreConfig(normalization = "flat", proportional = false))
+      val nDocs = scores.groupBy("envo").agg(count(lit(1)).as("n_docs"))
+      val edges = restrictedDepthEdges.toDF("child", "parent")
+      val depths = graft.ops.Components.bfsDepths(s, edges, "ENVO:root")
+        .toDF("curie", "depth")
+      val dim = graft.stages.Canonicalize.conceptFrame(s, restrictedDict)
+        .select("envo", "curie")
+      nDocs.join(broadcast(dim), "envo")
+        .join(broadcast(depths), "curie")
+        .select(col("curie"), col("depth"), col("n_docs"))
+        .orderBy("curie")
+    }),
     // o18: concept trend — per-(concept, day) conversation counts with the
     // previous-day delta (the KG drift monitor); the day bucket is derived
     // deterministically from doc_id (documents carry no timestamp) and
@@ -486,6 +505,31 @@ object SparkEntry {
 
   /** (envo, curie) VALUES rows for the restricted concepts — the oracle's
     * copy of the canonicalization dim. */
+  /** o19's graph: the restricted concepts' ancestor subgraph — direct
+    * is_a/part_of edges among {restricted ∪ their closure ancestors}, plus
+    * the virtual-root edge for every member with no in-subgraph parent
+    * (the envo_groups convention). Sorted and deterministic; shared
+    * verbatim by the Spark query (edge DataFrame) and the oracle (VALUES
+    * rows), so the distributed BFS and the recursive CTE walk the same
+    * DAG. */
+  private lazy val restrictedDepthEdges: Seq[(String, String)] = {
+    val full = KgPipeline.sharedDict
+    val onto = graft.dict.Obo.parseResource()
+    val nodes = restrictedEnvoInts
+      .flatMap(e => e +: full.closure.getOrElse(e, Array.empty[Int]).toSeq)
+      .distinct.map(full.intToCurie).toSet
+    val inner = onto.edges
+      .filter(e => (e.rel == "is_a" || e.rel == "part_of") &&
+        nodes(e.child) && nodes(e.parent))
+      .map(e => (e.child, e.parent)).distinct
+    val rooted = inner.map(_._1).toSet
+    val rootEdges = (nodes -- rooted).toSeq.sorted.map(n => (n, "ENVO:root"))
+    inner.sorted ++ rootEdges
+  }
+
+  private def depthEdgeValues: String =
+    restrictedDepthEdges.map { case (c, p) => s"  ('$c', '$p')" }.mkString(",\n")
+
   private def restrictedEnvoCurieValues: String = {
     val full = KgPipeline.sharedDict
     val envos = restrictedForms
@@ -1959,6 +2003,38 @@ object SparkEntry {
          |       CAST(sum(n_convs) AS BIGINT) AS pair_convs
          |FROM u JOIN ec USING (envo)
          |GROUP BY 1 ORDER BY curie""".stripMargin,
+    // o19: the shared tagged-doc CTEs + a recursive-CTE min-hop walk over
+    // the SAME literal edge set the Spark BFS consumes; depths and counts
+    // are integers — exact on both engines
+    "o19_concept_depth" ->
+      s"""WITH RECURSIVE fe(form, envo) AS (VALUES
+         |$restrictedFormEnvoValues),
+         |ec(envo, curie) AS (VALUES
+         |$restrictedEnvoCurieValues),
+         |eg(child, parent) AS (VALUES
+         |$depthEdgeValues),
+         |t AS (SELECT doc_id, text ||
+         |  CASE doc_id % 5 WHEN 0 THEN ' the ocean meets the sea near the ocean'
+         |                  WHEN 1 THEN ' mud by the lake and garden mud'
+         |                  WHEN 2 THEN ' OCEAN stays blocked but pond counts'
+         |                  ELSE '' END AS t2
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(t2, '[^A-Za-z0-9]+'), x -> x <> '')) AS raw
+         |  FROM t),
+         |m AS (SELECT doc_id, lower(raw) AS form FROM tok
+         |  WHERE lower(raw) IN ('ocean', 'sea', 'lake', 'mud', 'garden', 'pond')
+         |    AND $restrictedStopPredicate),
+         |de AS (SELECT DISTINCT doc_id, envo FROM m JOIN fe USING (form)),
+         |walk(id, dpt) AS (
+         |  SELECT 'ENVO:root', 0
+         |  UNION
+         |  SELECT eg.child, w.dpt + 1 FROM walk w JOIN eg ON eg.parent = w.id),
+         |dep AS (SELECT id, min(dpt) AS depth FROM walk GROUP BY 1),
+         |cnt AS (SELECT envo, count(*) AS n_docs FROM de GROUP BY 1)
+         |SELECT ec.curie, dep.depth, cnt.n_docs
+         |FROM cnt JOIN ec USING (envo) JOIN dep ON dep.id = ec.curie
+         |ORDER BY curie""".stripMargin,
     // o18: the shared tagged-doc CTEs, a doc_id-derived day bucket, one
     // (envo, day) agg, and a lag window over the aggregated frame — all
     // integers, exact on both engines

@@ -64,6 +64,45 @@ object Components {
     labels
   }
 
+  /** Min-hop BFS depths from `root` over a DIRECTED (child, parent) edge
+    * list: depth(root) = 0, depth(n) = 1 + min over n's parents — the
+    * ontology-level statistic (hops up is_a/part_of to the root), but the
+    * recipe is generic for any big edge list. Level-synchronous
+    * frontier expansion: each round is one distributed join + a min-agg
+    * union (the connectedComponents discipline — localCheckpoint per round
+    * keeps planning cost constant, the only driver value is the changed
+    * count, convergence in O(DAG depth) rounds, loud non-convergence).
+    * Nodes unreachable from the root are absent from the output. */
+  def bfsDepths(spark: SparkSession, edges: DataFrame, root: String,
+                childCol: String = "child", parentCol: String = "parent",
+                maxIter: Int = 50): DataFrame = {
+    import spark.implicits._
+    val e = edges.select(col(childCol).as("c"), col(parentCol).as("p"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var depths = Seq((root, 0)).toDF("id", "depth").localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val via = e.join(depths.withColumnRenamed("id", "p"), "p")
+        .select(col("c").as("id"), (col("depth") + 1).as("depth"))
+      val next = depths.unionByName(via)
+        .groupBy("id").agg(min("depth").as("depth"))
+        .localCheckpoint(true)
+      val changed = next.join(depths.withColumnRenamed("depth", "old"), Seq("id"), "left")
+        .filter(col("old").isNull || col("depth") < col("old")).count()
+      depths = next
+      converged = changed == 0
+      iter += 1
+    }
+    if (!converged)
+      System.err.println(
+        s"[graft] bfsDepths did NOT converge after $maxIter iterations — " +
+          "depths may exceed true minima; raise maxIter (DAG-depth rounds needed)")
+    e.unpersist()
+    depths
+  }
+
   /** Dedup clusters from a near-dup pair table: every doc mapped to its
     * cluster representative (min id), cluster sizes attached. */
   def dupClusters(spark: SparkSession, pairs: DataFrame): DataFrame = {

@@ -27,6 +27,56 @@ class ComponentsSpec extends SparkSpec {
       (30L, 30L, 2L), (31L, 30L, 2L)))
   }
 
+  test("bfs depths: diamond, chain, multi-parent min, unreachable island") {
+    // child -> parent edges toward root "r"; "e" has a long path via d and
+    // a direct root edge (min must win); (x, y) is an unreachable island
+    val edges = Seq(
+      ("a", "r"), ("b", "r"), ("c", "a"), ("c", "b"),
+      ("d", "c"), ("e", "d"), ("e", "r"), ("x", "y")).toDF("child", "parent")
+    val d = Components.bfsDepths(spark, edges, "r")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(d === Map("r" -> 0, "a" -> 1, "b" -> 1, "c" -> 2, "d" -> 3, "e" -> 1))
+  }
+
+  test("bfs depths on the real ontology match a driver-side BFS") {
+    val onto = graft.dict.Obo.parseResource()
+    val edgePairs = onto.edges
+      .filter(e => e.rel == "is_a" || e.rel == "part_of")
+      .map(e => (e.child, e.parent)).distinct
+    // deterministic root: the most-referenced parent (ties by curie)
+    val root = edgePairs.groupBy(_._2).toSeq
+      .maxBy { case (p, es) => (es.size, p) }._1
+    // independent JDK BFS over the reverse adjacency
+    val children = edgePairs.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val expected = scala.collection.mutable.Map(root -> 0)
+    var frontier = Seq(root)
+    var lvl = 0
+    while (frontier.nonEmpty) {
+      lvl += 1
+      frontier = frontier.flatMap(p => children.getOrElse(p, Nil))
+        .distinct.filterNot(expected.contains)
+      frontier.foreach(c => expected(c) = lvl)
+    }
+    val got = Components.bfsDepths(spark, edgePairs.toDF("child", "parent"), root)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got.size === expected.size)
+    assert(got === expected.toMap)
+  }
+
+  test("bfs depths at maxIter boundary: loud non-convergence, partial depths consumable") {
+    val chain = (0 until 8).map(i => (s"n${i + 1}", s"n$i")).toDF("child", "parent")
+    val buf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    val d = try {
+      System.setErr(new java.io.PrintStream(buf, true))
+      Components.bfsDepths(spark, chain, "n0", maxIter = 3)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    } finally System.setErr(realErr)
+    assert(buf.toString.contains("did NOT converge"), buf.toString)
+    // the reached prefix is exact even when the walk was cut short
+    d.foreach { case (n, dep) => assert(dep === n.drop(1).toInt, s"$n") }
+  }
+
   test("chain graph at maxIter boundary: loud non-convergence, labels still consumable") {
     // min-label propagation advances one hop per round, so a long chain
     // needs O(diameter) rounds — at maxIter below that the escape hatch
