@@ -369,6 +369,7 @@ object SparkEntry {
     "e5_lsh_neardup" -> ((s, d) => EmbedOps.lshNearDupPairs(s, d)),
     "e6_semantic_dedup" -> ((s, d) => EmbedOps.semanticDedup(s, d)),
     "e7_sq_topk" -> ((s, d) => EmbedOps.sqTopK(s, d)),
+    "e8_ivf_sq_topk" -> ((s, d) => EmbedOps.ivfSqTopK(s, d)),
     // --- KG pipeline (rows-only for the driver; oracled by ScalaTest).
     //     persistIntermediates: the triple queries consume the tagger
     //     output through several plan branches — cache it once. ---
@@ -1920,7 +1921,7 @@ object SparkEntry {
         |  CASE WHEN doc_id % 17 = 0 THEN 'DUP PAYLOAD' ELSE text END AS text
         |  FROM documents),
         |k AS (SELECT doc_id, source, md5(text) AS h,
-        |  COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT), 999999) AS src_rank
+        |  LEAST(COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT), 999999), 999999) AS src_rank
         |  FROM m),
         |p AS (SELECT *, src_rank * 1099511627776 + doc_id AS packed FROM k),
         |g AS (SELECT h, min(packed) AS kp, count(*) AS n_copies FROM p GROUP BY 1)
@@ -2142,5 +2143,93 @@ object SparkEntry {
         |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sc)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // e8: e4's refined-quantizer CTEs verbatim (seed sample → one exact
+    // fixed-point Lloyd step → cell assignment + nprobe probing), e7's
+    // quantization CTEs verbatim (scale, round-half-away codes), then the
+    // cell-restricted code-cosine scan, top-20 candidates, exact rerank —
+    // every arithmetic step already proven by the e4/e7 oracles
+    "e8_ivf_sq_topk" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |seeds AS (SELECT vec_id AS cell,
+        |  [CAST(embedding[i] AS DOUBLE) /
+        |   sqrt(list_aggregate([CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)
+        |                        for j in range(1, len(embedding) + 1)], 'sum'))
+        |   for i in range(1, len(embedding) + 1)] AS cv
+        |  FROM e WHERE vec_id < 16),
+        |ssc AS (SELECT e.vec_id, s.cell,
+        |  list_aggregate([CAST(e.embedding[i] AS DOUBLE) * s.cv[i]
+        |                  for i in range(1, len(e.embedding) + 1)], 'sum') AS s
+        |  FROM e, seeds s),
+        |assign0 AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY s DESC, cell DESC) AS rn FROM ssc) WHERE rn = 1),
+        |sx AS (SELECT a.cell, e.embedding,
+        |    unnest(generate_series(1, len(e.embedding))) AS dim
+        |  FROM assign0 a JOIN e USING (vec_id)),
+        |cellcnt AS (SELECT cell, count(*) AS n FROM assign0 GROUP BY cell),
+        |sums AS (SELECT cell, dim,
+        |    sum(CAST(round(CAST(embedding[dim] AS DOUBLE) * 1073741824.0) AS BIGINT)) AS fx
+        |  FROM sx GROUP BY 1, 2),
+        |means AS (SELECT s.cell,
+        |    list(CAST(fx AS DOUBLE) / (CAST(c.n AS DOUBLE) * 1073741824.0) ORDER BY dim) AS mv
+        |  FROM sums s JOIN cellcnt c USING (cell) GROUP BY s.cell, c.n),
+        |refined AS (SELECT cell,
+        |  CASE WHEN sqrt(list_aggregate([mv[j] * mv[j]
+        |                                 for j in range(1, len(mv) + 1)], 'sum')) > 0
+        |    THEN [mv[i] / sqrt(list_aggregate([mv[j] * mv[j]
+        |                                       for j in range(1, len(mv) + 1)], 'sum'))
+        |          for i in range(1, len(mv) + 1)]
+        |    ELSE NULL END AS cv
+        |  FROM means),
+        |c AS (SELECT s.cell, COALESCE(r.cv, s.cv) AS cv
+        |  FROM seeds s LEFT JOIN refined r USING (cell)),
+        |csc AS (SELECT e.vec_id, c.cell,
+        |  list_aggregate([CAST(e.embedding[i] AS DOUBLE) * c.cv[i]
+        |                  for i in range(1, len(e.embedding) + 1)], 'sum') AS s
+        |  FROM e, c),
+        |assigned AS (SELECT vec_id AS neighbor_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY s DESC, cell DESC) AS rn FROM csc) WHERE rn = 1),
+        |probe AS (SELECT vec_id AS query_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY s DESC, cell DESC) AS rn FROM csc WHERE vec_id < 3) WHERE rn <= 4),
+        |s AS (SELECT vec_id, embedding,
+        |  list_aggregate([abs(CAST(embedding[i] AS DOUBLE))
+        |                  for i in range(1, len(embedding) + 1)], 'max') / 127.0 AS scale
+        |  FROM e),
+        |cd AS (SELECT vec_id,
+        |  CASE WHEN scale > 0
+        |    THEN [round(CAST(embedding[i] AS DOUBLE) / scale)
+        |          for i in range(1, len(embedding) + 1)]
+        |    ELSE [0.0 for i in range(1, len(embedding) + 1)] END AS codes
+        |  FROM s),
+        |q AS (SELECT vec_id, codes,
+        |  sqrt(list_aggregate([codes[i] * codes[i]
+        |                       for i in range(1, len(codes) + 1)], 'sum')) AS qn
+        |  FROM cd),
+        |scan AS (SELECT p.query_id, a.neighbor_id,
+        |  list_aggregate([qq.codes[i] * nn.codes[i]
+        |                  for i in range(1, len(qq.codes) + 1)], 'sum') / (qq.qn * nn.qn) AS qcos
+        |  FROM probe p JOIN assigned a USING (cell)
+        |  JOIN q qq ON qq.vec_id = p.query_id
+        |  JOIN q nn ON nn.vec_id = a.neighbor_id
+        |  WHERE p.query_id <> a.neighbor_id AND qq.qn > 0 AND nn.qn > 0),
+        |cand AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY qcos DESC, neighbor_id ASC) AS qrank FROM scan)
+        |  WHERE qrank <= 20),
+        |co AS (SELECT c2.query_id, c2.neighbor_id,
+        |  list_aggregate([CAST(qe.embedding[i] AS DOUBLE) * CAST(ne.embedding[i] AS DOUBLE)
+        |                  for i in range(1, len(qe.embedding) + 1)], 'sum') /
+        |  (sqrt(list_aggregate([CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE)
+        |                  for i in range(1, len(qe.embedding) + 1)], 'sum')) *
+        |   sqrt(list_aggregate([CAST(ne.embedding[i] AS DOUBLE) * CAST(ne.embedding[i] AS DOUBLE)
+        |                  for i in range(1, len(ne.embedding) + 1)], 'sum'))) AS cosine
+        |  FROM cand c2 JOIN e qe ON qe.vec_id = c2.query_id
+        |  JOIN e ne ON ne.vec_id = c2.neighbor_id)
+        |SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM co)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
 }

@@ -28,6 +28,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      finally
+        // op-internal persists (d7 bands, o15's (conv, envo) projection,
+        // e7's coded frame, ...) otherwise accumulate for the whole
+        // 80-query session — release each query's caches before the next
+        spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -976,8 +976,14 @@ object DocOps {
     priorityDedupOf(docs(spark, dir))
 
   private[graft] def priorityDedupOf(df: DataFrame): DataFrame = {
-    val rank = coalesce(
-      expr("try_cast(regexp_extract(source, '([0-9]+)$', 1) as bigint)"),
+    // clamped at the 999999 sentinel: an unbounded numeric suffix (a
+    // date-stamped source like 'crawl20240801' extracts 20240801) would
+    // overflow the 2^40 packing under ANSI mode — any rank past the
+    // sentinel just means "unranked, sort last", exactly the sentinel
+    val rank = least(
+      coalesce(
+        expr("try_cast(regexp_extract(source, '([0-9]+)$', 1) as bigint)"),
+        lit(999999L)),
       lit(999999L))
     val keyed = df
       .withColumn("h", md5(col("text")))

@@ -109,9 +109,22 @@ object EmbedOps {
   }
 
   /** All near-duplicate embedding pairs with cosine ≥ threshold —
-    * embedding-based near-dup dedup. Brute force (correctness baseline). */
-  def cosineNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.38): DataFrame = {
+    * embedding-based near-dup dedup. Brute force (correctness baseline):
+    * the plan is an O(n²) crossJoin by DESIGN, so it refuses corpora past
+    * `maxVectors` LOUDLY — pointing a 100 TB corpus at the exact baseline
+    * must fail at plan-build time, not melt a cluster. [[lshNearDupPairs]]
+    * (e5, sign-bucket equi-join) and [[semanticDedup]] (e6, within-cell
+    * pairs) are the scale paths with the identical cosine contract; raise
+    * `maxVectors` explicitly only for a deliberate exact sweep. */
+  def cosineNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.38,
+                         maxVectors: Long = 20000): DataFrame = {
     val e = emb(spark, dir)
+    val n = e.count()
+    require(n <= maxVectors,
+      s"cosineNearDupPairs is the O(n²) exact BASELINE (full crossJoin): " +
+        s"$n vectors exceeds maxVectors=$maxVectors. Use lshNearDupPairs (e5) " +
+        s"or semanticDedup (e6) at corpus scale, or raise maxVectors for a " +
+        s"deliberate exact sweep.")
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
       norm(col("embedding")).as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
@@ -412,6 +425,83 @@ object EmbedOps {
       .select("query_id", "neighbor_id")
 
     // exact rerank — the e3 candidate-join machinery
+    val qv = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm(col("embedding")).as("nq"))
+    val rer = cands
+      .join(broadcast(qv), Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        norm(col("embedding")).as("nn")), Seq("neighbor_id"))
+      .withColumn("cosine", cosineFromNorms(dot(col("qv"), col("nv")), col("nq"), col("nn")))
+      .filter(col("cosine").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    rer
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** e8 — IVF×SQ composed ANN (the faiss IVFx,SQ8 production shape): the
+    * e4 coarse quantizer restricts each query's scan to its `nprobe`
+    * nearest cells, the scan inside those cells ranks candidates by the
+    * cosine of e7's int8 codes (4× less traffic per candidate), and the
+    * winners re-rank by the exact float cosine. This is the composition
+    * e7's doc comment promises — both restrictions multiply: a 100 TB scan
+    * touches nprobe/nlist of the corpus AND reads codes, not floats.
+    *
+    * ONE corpus projection computes codes + cell assignment (persisted: it
+    * feeds the query side and the scan); the scan is a broadcast of the
+    * nQueries×nprobe probe rows against the coded corpus on the CELL key —
+    * never corpus × corpus (PlanShapeSpec pins no-cartesian). Every
+    * arithmetic step is the already-oracle-proven e4/e7 machinery, so the
+    * whole composition sits under a DuckDB hash; OpsSpec pins recall@5
+    * against the exact e1 baseline. */
+  def ivfSqTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 3,
+                nlist: Int = 16, nprobe: Int = 4, overfetch: Int = 4): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = refinedCentroids(e, nlist)
+    val cellScores = cellScoreArray(cents)
+    val coded = e
+      .select(col("vec_id"),
+        array_max(cellScores).getField("cell").as("cell"),
+        (array_max(transform(col("embedding"), x => abs(x.cast("double")))) / lit(127.0))
+          .as("scale"),
+        col("embedding"))
+      .withColumn("codes",
+        when(col("scale") > 0,
+          transform(col("embedding"), x => round(x.cast("double") / col("scale"))))
+          .otherwise(transform(col("embedding"), _ => lit(0.0))))
+      .select(col("vec_id"), col("cell"), col("codes"),
+        sqrt(dot(col("codes"), col("codes"))).as("cn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // nprobe nearest cells per query (e4's projection-only probe), joined
+    // to the query's own codes — nQueries×nprobe rows, broadcast-sized
+    val probedCells = slice(reverse(array_sort(cellScores)), 1, nprobe).getField("cell")
+    val qSide = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), explode(probedCells).as("cell"))
+      .join(coded.select(col("vec_id").as("query_id"), col("codes").as("qc"),
+        col("cn").as("qnq")), Seq("query_id"))
+
+    // cell-restricted code scan: each query reads only its probed cells
+    val scan = coded.toDF("neighbor_id", "cell", "nc", "nn")
+      .join(broadcast(qSide), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qcos", cosineFromNorms(dot(col("qc"), col("nc")), col("qnq"), col("nn")))
+      .filter(col("qcos").isNotNull)
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    val cands = scan
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= k * overfetch)
+      .select("query_id", "neighbor_id")
+
+    // exact rerank — the e3/e7 candidate-join machinery unchanged
     val qv = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         norm(col("embedding")).as("nq"))

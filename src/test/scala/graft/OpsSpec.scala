@@ -651,6 +651,33 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.85, s"recall $recall below the int8+overfetch level")
   }
 
+  test("IVF×SQ top-k: exact rerank cosines, recall vs brute force") {
+    val brute = EmbedOps.cosineTopK(spark, dir, k = 5, nQueries = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val composed = EmbedOps.ivfSqTopK(spark, dir, k = 5, nQueries = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // the rerank recomputes the EXACT cosine — agreement must be exact
+    val common = brute.keySet intersect composed.keySet
+    common.foreach(k => assert(brute(k) === composed(k)))
+    val recall = common.size.toDouble / brute.size
+    info(f"IVF×SQ recall@5 = $recall%.2f (nlist=16, nprobe=4, int8 codes)")
+    // the composition can only lose candidates the cell restriction
+    // already lost — pinned at e4's refined-centroid level
+    assert(recall >= 0.85, s"recall $recall below the composed IVF+SQ level")
+  }
+
+  test("e2 brute near-dup refuses corpora past maxVectors") {
+    // the exact O(n²) baseline must fail LOUDLY before building a
+    // corpus×corpus crossJoin — the scale paths are e5/e6
+    val ex = intercept[IllegalArgumentException] {
+      EmbedOps.cosineNearDupPairs(spark, dir, maxVectors = 10)
+    }
+    assert(ex.getMessage.contains("lshNearDupPairs"))
+    // an explicit raise keeps the exact sweep available
+    assert(EmbedOps.cosineNearDupPairs(spark, dir, threshold = 0.9,
+      maxVectors = 1000000).columns.toSeq === Seq("vec_a", "vec_b", "cosine"))
+  }
+
   test("priority dedup: best-ranked source wins, ties by doc_id") {
     import spark.implicits._
     val df = Seq(
@@ -658,7 +685,12 @@ class OpsSpec extends SparkSpec {
       (1L, "src2", "aaa"),
       (2L, "src1", "aaa"),
       (3L, "src1", "aaa"), // same rank as doc 2 -> doc_id tie-break
-      (4L, "src0", "solo")
+      (4L, "src0", "solo"),
+      // a date-stamped suffix extracts 20240801 — far past the 2^40
+      // packing's safe range; the rank CLAMPS to the 999999 sentinel
+      // (sorts last) instead of overflowing the packed BIGINT under ANSI
+      (5L, "crawl20240801", "dated"),
+      (6L, "src3", "dated")
     ).toDF("doc_id", "source", "text")
     val r = DocOps.priorityDedupOf(df).collect()
       .map(x => x.getLong(0) ->
@@ -669,6 +701,9 @@ class OpsSpec extends SparkSpec {
     assert(r(0L)._1 === 999999L)
     Seq(0L, 1L, 3L).foreach(id => assert(r(id)._3 === 2L, s"doc $id kept_by"))
     assert(r(4L) === ((0L, 1L, 4L, 1L)))
+    // group "dated": the clamped crawl source loses to src3
+    assert(r(5L) === ((999999L, 0L, 6L, 2L)))
+    assert(r(6L) === ((3L, 1L, 6L, 2L)))
   }
 
   test("bigram vocab: hand-computed pair counts, deterministic top-K cut") {

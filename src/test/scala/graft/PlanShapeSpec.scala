@@ -289,6 +289,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("e8 IVF×SQ scan is cell-restricted with broadcast probes, no cartesian") {
+    // the composed ANN must keep BOTH restrictions: the scan joins the
+    // coded corpus to the broadcast probe rows on the CELL key (equi-join,
+    // never corpus×corpus), and the coded frame feeding both sides is
+    // persisted
+    val p = plan(graft.ops.EmbedOps.ivfSqTopK(spark, dir))
+    try {
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(p.contains("InMemoryTableScan"), p)
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
+
   test("e7 SQ scan broadcasts the query codes and persists the coded frame") {
     // the candidate scan is broadcast(nQueries code rows) x corpus — an
     // unhinted plan would CartesianProduct corpus x corpus; and the

@@ -88,7 +88,13 @@ class PropertySpec extends SparkSpec {
           .conceptDegrees(spark, pairs, KgPipeline.sharedDict).collect()
           .map(r => r.getString(0) -> r.getLong(2)).toMap
         assert(cent.view.mapValues(_._1).toMap === strength, s"seed=$seed")
-      } finally pairs.unpersist()
+      } finally {
+        pairs.unpersist()
+        // walkCentrality persists its internal edge frame per call — clear
+        // it so per-seed iterations don't leak caches into the shared
+        // session (same hygiene as OpsSpec's walk test)
+        spark.sharedState.cacheManager.clearCache()
+      }
     }
   }
 
