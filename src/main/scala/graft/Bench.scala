@@ -35,7 +35,9 @@ object Bench {
     "d19_sequence_packing", "d20_decontamination",
     "d21_repeated_spans", "e6_semantic_dedup",
     "d22_quality_classifier", "d23_domain_mixture",
-    "d24_priority_dedup", "d25_bigram_vocab", "e7_sq_topk")
+    "d24_priority_dedup", "d25_bigram_vocab", "e7_sq_topk",
+    // round-6 additions
+    "d27_bpe_merges", "e8_ivf_sq_topk")
 
   private def time[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
@@ -86,6 +88,26 @@ object Bench {
     val rl = math.max(rawCpuProbe(lo, texts), rawCpuProbe(lo, texts))
     val rh = math.max(rawCpuProbe(hi, texts), rawCpuProbe(hi, texts))
     math.min(1.0, (rh / rl) / (hi.toDouble / lo))
+  }
+
+  /** ABSOLUTE host-health reference for the bracketing probes (texts/s at
+    * 8 probe threads). The drift-only bracket (before ≈ after) is blind to
+    * UNIFORM degradation: in round 5 both probes read ~1.3-1.4M — half the
+    * clean-phase 2.8-2.9M — and the artifact published clean-looking
+    * 1.5-2.2x-inflated times. The reference is max(calibrated clean-phase
+    * rate, best reading seen THIS run): the env default is this host's
+    * measured clean rate (tools.CpuScale / gated416.sh's gate), and any
+    * in-run reading above it raises the bar. A probe below FLOOR_FRAC of
+    * the reference marks the window degraded — absolute times from it are
+    * not publishable as clean (ratios from a UNIFORMLY degraded pair are
+    * still meaningful and published flagged). Floor applies only at the
+    * standard 8-thread probe size (the calibration's unit). */
+  private val cleanRefDefault = 2.8e6
+  private val FloorFrac = 0.65
+  private var bestProbeSeen = 0.0
+  private def trackProbe(rate: Double): Double = {
+    if (rate > bestProbeSeen) bestProbeSeen = rate
+    rate
   }
 
   private def kgRun(cores: Int, turnsPath: String, iters: Int = 2): (Long, Long, Double) = {
@@ -162,8 +184,13 @@ object Bench {
     // recoverable, a silently-wrong one is not. Per-run times are all
     // published (queries_runs) so a reader can see the spread.
     val probeThreads = math.min(cpus, 8)
+    // absolute probe floor (see cleanRefDefault): only meaningful at the
+    // calibrated 8-thread probe size; env-overridable for other hosts
+    val cleanRef = sys.env.get("SPARK_GRAFT_PROBE_CLEAN").map(_.toDouble)
+      .getOrElse(if (probeThreads == 8) cleanRefDefault else 0.0)
+    def probeFloor: Double = FloorFrac * math.max(cleanRef, bestProbeSeen)
     def headlineSweep(): (Seq[(String, Seq[Double])], Double, Double) = {
-      val before = rawCpuProbe(probeThreads, probeTexts)
+      val before = trackProbe(rawCpuProbe(probeThreads, probeTexts))
       val rs = headline.flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>
           def once(): Double = {
@@ -174,25 +201,35 @@ object Bench {
           name -> Seq(once(), once())
         }
       }
-      val after = rawCpuProbe(probeThreads, probeTexts)
+      val after = trackProbe(rawCpuProbe(probeThreads, probeTexts))
       (rs, before, after)
     }
     def probesAgree(b: Double, a: Double): Boolean =
       math.min(b, a) / math.max(b, a) >= 0.88
-    val sweep1 = headlineSweep()
-    val sweeps =
-      if (probesAgree(sweep1._2, sweep1._3)) Seq(sweep1)
-      else {
-        System.err.println(f"[bench] headline sweep 1 contaminated (probe " +
-          f"${sweep1._2}%.0f -> ${sweep1._3}%.0f texts/s) — retrying once")
-        Seq(sweep1, headlineSweep())
-      }
+    // a sweep is publishable as clean only if its brackets AGREE (no
+    // drift) AND sit above the absolute floor (not uniformly degraded) —
+    // round 5's artifact passed the drift check inside a half-speed host
+    // phase. Retry while either check fails (a steal phase lasts minutes;
+    // a short wait beats publishing through it), then flag loudly.
+    def sweepClean(s: (Seq[(String, Seq[Double])], Double, Double)): Boolean =
+      probesAgree(s._2, s._3) && math.min(s._2, s._3) >= probeFloor
+    val maxSweeps = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEADLINE_RETRIES", "2").toInt + 1
+    val sweeps = scala.collection.mutable.ArrayBuffer(headlineSweep())
+    while (!sweepClean(sweeps.last) && sweeps.length < maxSweeps) {
+      System.err.println(f"[bench] headline sweep ${sweeps.length} not clean (probe " +
+        f"${sweeps.last._2}%.0f -> ${sweeps.last._3}%.0f texts/s, floor $probeFloor%.0f)" +
+        " — waiting 90s and retrying")
+      Thread.sleep(90000L)
+      sweeps += headlineSweep()
+    }
     val headlineContaminated = !probesAgree(sweeps.last._2, sweeps.last._3)
-    if (headlineContaminated)
-      System.err.println("[bench] headline sweep still contaminated after retry — flagged in JSON")
+    val headlineDegraded =
+      math.min(sweeps.last._2, sweeps.last._3) < probeFloor
+    if (headlineContaminated || headlineDegraded)
+      System.err.println("[bench] headline sweeps exhausted without a clean window — flagged in JSON")
     // per-query runs across all sweeps (2 or 4 entries); headline = min
     val runsByQuery: Seq[(String, Seq[Double])] = headline.flatMap { name =>
-      val all = sweeps.flatMap(_._1.collect { case (`name`, rs) => rs }.flatten)
+      val all = sweeps.flatMap(_._1.collect { case (`name`, rs) => rs }.flatten).toSeq
       if (all.isEmpty) None else Some(name -> all)
     }
     val results = runsByQuery.map { case (n, rs) => n -> rs.min }
@@ -225,13 +262,24 @@ object Bench {
       // same validity rule as the main pairs: uncapped eff > 1.0 means
       // steal hit only the LOW-core half — an INFLATED reading, not a good
       // span (high-core steal depresses, low-core steal inflates; only the
-      // max of DEPRESSED readings estimates the clean ratio). A span whose
-      // both probe pairs are invalid scores 0.0 so the other span wins; if
-      // every span is contaminated, maxBy's first-wins tie keeps 2->8.
-      val valid = effs.filter(_ <= 1.0)
+      // max of DEPRESSED readings estimates the clean ratio). And a
+      // PHYSICALLY ABSURD low reading (< 0.3 — no engine span on this VM
+      // has ever measured near it cleanly) means steal hit only the
+      // HIGH-core half: round 5's 2->8 probe read 0.076 mid-phase and
+      // silently steered the whole run onto the membw-capped 4->16 span.
+      // Both tails are contamination, not evidence — reject them. A span
+      // whose probe pairs are all rejected scores 0.0; if every span is
+      // contaminated, fall back to the narrow 2->8 span explicitly.
+      val valid = effs.filter(e => e <= 1.0 && e >= 0.3)
       ((lo, hi), if (valid.nonEmpty) valid.max else 0.0)
     }
-    val (lowCpus, highCpus) = spanEffs.maxBy(_._2)._1
+    val bestSpan = spanEffs.maxBy(_._2)
+    val (lowCpus, highCpus) =
+      if (bestSpan._2 > 0.0) bestSpan._1
+      else {
+        System.err.println("[bench] every span probe contaminated — falling back to the 2->8 span")
+        spans.head
+      }
     val spanProbeJson = spanEffs.map { case ((l, h), e) =>
       "\"" + s"${l}->${h}" + f"""":$e%.3f""" }.mkString("{", ",", "}")
     System.err.println(s"[bench] span probe: " + spanEffs.map {
@@ -248,43 +296,64 @@ object Bench {
     // while the headline is below the 0.8 target — a slow host phase lasts
     // minutes, so retrying beats averaging through it.
     val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "8").toInt
-    val pairs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
-    def eff(p: (Long, Long, Double, Double)): Double =
-      (p._3 / p._4) / (highCpus.toDouble / lowCpus)
-    // a pair whose UNCAPPED efficiency exceeds 1.0 is physically impossible
-    // (4x cores can't beat 4x speedup) — it means host steal hit only the
-    // low-core half. That's evidence of CONTAMINATION, not of good scaling:
-    // such pairs are discarded, never reported, and never satisfy the exit
-    // (round 2 published exactly one such pair capped to 1.000 — useless as
-    // evidence). Valid pairs need eff in (0, 1.0].
-    def valid = pairs.filter(p => eff(p) <= 1.0)
-    def bestPair = {
-      val minTotal = valid.map(p => p._3 + p._4).min
-      valid.filter(p => p._3 + p._4 <= minTotal * 1.08).maxBy(eff)
+    final case class PairRec(nt: Long, tri: Long, sl: Double, sh: Double,
+                             pb: Double, pa: Double)
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[PairRec]
+    def eff(p: PairRec): Double = (p.sl / p.sh) / (highCpus.toDouble / lowCpus)
+    // Pair classification — every pair is BRACKETED by the raw CPU probe:
+    //  - invalid: uncapped eff > 1.0 is physically impossible (4x cores
+    //    can't beat 4x speedup) — steal hit only the low-core half; never
+    //    reported as evidence (round 2 published one capped to 1.000).
+    //  - drifting: the brackets disagree — the host changed speed INSIDE
+    //    the pair, so the ratio mixes two regimes.
+    //  - uniform_degraded: brackets agree but sit below the absolute
+    //    floor — the RATIO is trustworthy (uniform steal cancels in the
+    //    division; the entire time-adjacent-pair rationale) but absolute
+    //    walls are inflated and must not be published as clean.
+    //  - clean: agreeing brackets at or above the floor.
+    def cls(p: PairRec): String =
+      if (eff(p) > 1.0) "invalid"
+      else if (!probesAgree(p.pb, p.pa)) "drifting"
+      else if (math.min(p.pb, p.pa) < probeFloor) "uniform_degraded"
+      else "clean"
+    def ofClass(c: String): Seq[PairRec] = pairs.filter(p => cls(p) == c).toSeq
+    def bestOf(ps: Seq[PairRec]): PairRec = {
+      val minTotal = ps.map(p => p.sl + p.sh).min
+      ps.filter(p => p.sl + p.sh <= minTotal * 1.08).maxBy(eff)
     }
-    // ≥2 VALID pairs always: a single-pair artifact can't show the
+    // ≥2 CLEAN pairs always: a single-pair artifact can't show the
     // measurement is repeatable even when it's clean (discarded
     // contaminated pairs don't count toward repeatability)
     while (pairs.length < maxPairs &&
-           (valid.length < 2 || eff(bestPair) < 0.8)) {
+           (ofClass("clean").length < 2 || eff(bestOf(ofClass("clean"))) < 0.8)) {
+      val pb = trackProbe(rawCpuProbe(probeThreads, probeTexts))
       val (_, _, sl) = kgRun(lowCpus, turnsPath, iters = 1)
       val (nt, tri, sh) = kgRun(highCpus, turnsPath, iters = 1)
-      pairs += ((nt, tri, sl, sh))
-      if (eff(pairs.last) > 1.0)
-        System.err.println(f"[bench] pair ${pairs.length} discarded: uncapped " +
-          f"efficiency ${eff(pairs.last)}%.3f > 1.0 (steal-contaminated low-core run)")
+      val pa = trackProbe(rawCpuProbe(probeThreads, probeTexts))
+      pairs += PairRec(nt, tri, sl, sh, pb, pa)
+      System.err.println(f"[bench] pair ${pairs.length}: ${sl}%.1f/${sh}%.1f s " +
+        f"eff ${eff(pairs.last)}%.3f probes $pb%.0f/$pa%.0f -> ${cls(pairs.last)}")
     }
-    // ALL reported fields come from the single selected CLEAN pair, so
-    // sec/tput/efficiency are internally consistent; every raw pair is
-    // published alongside so the selection is auditable. If every pair came
-    // back contaminated (all-steal host phase), fail loudly rather than
-    // publish a fabricated number.
-    require(valid.nonEmpty,
-      s"all $maxPairs bench pairs were steal-contaminated (uncapped eff > 1.0) — rerun on a quieter host")
-    val (nTurns, nTriples, secLow, secHigh) = bestPair
+    // Selection hierarchy: clean > uniform_degraded > drifting. ALL
+    // reported fields come from the single selected pair, so sec/tput/
+    // efficiency are internally consistent; every raw pair AND its probe
+    // brackets are published so the selection is auditable. degraded_host
+    // says the host never offered a clean window within the budget — the
+    // reader gets the (still-meaningful) uniform-phase ratio plus the raw
+    // trail instead of a clean-looking fabrication.
+    val kgWindow = Seq("clean", "uniform_degraded", "drifting")
+      .find(c => ofClass(c).nonEmpty)
+      .getOrElse(throw new IllegalStateException(
+        s"all $maxPairs bench pairs were steal-contaminated (uncapped eff > 1.0) — rerun on a quieter host"))
+    val degradedHost = kgWindow != "clean"
+    if (degradedHost)
+      System.err.println(s"[bench] no clean pair window in $maxPairs pairs — " +
+        s"publishing the best $kgWindow pair with degraded_host: true")
+    val best = bestOf(ofClass(kgWindow))
+    val (nTurns, nTriples, secLow, secHigh) = (best.nt, best.tri, best.sl, best.sh)
     val tputLow = nTriples / secLow
     val tputHigh = nTriples / secHigh
-    val efficiency = eff(bestPair)
+    val efficiency = eff(best)
 
     // raw (no-Spark) hardware ceilings of the same span, probed right
     // after the pairs — context for reading the efficiency number. TWO
@@ -300,18 +369,25 @@ object Bench {
     val qruns = runsByQuery.map { case (k, rs) =>
       "\"" + k + "\":" + rs.map(r => f"$r%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum + pairs.map(p => p._3 + p._4).sum
-    val pairsJson = pairs.map(p => f"[${p._3}%.2f,${p._4}%.2f]").mkString("[", ",", "]")
+    val total = results.map(_._2).sum + pairs.map(p => p.sl + p.sh).sum
+    val pairsJson = pairs.map(p => f"[${p.sl}%.2f,${p.sh}%.2f]").mkString("[", ",", "]")
+    val pairsProbeJson = pairs.map(p =>
+      f"""[${p.pb}%.0f,${p.pa}%.0f,"${cls(p)}"]""").mkString("[", ",", "]")
     val kg = f"""{"turns":$nTurns,"triples":$nTriples,"cores_n":$lowCpus,"cores_4n":$highCpus,""" +
       f""""sec_n":$secLow%.2f,"sec_4n":$secHigh%.2f,""" +
       f""""tput_n":$tputLow%.0f,"tput_4n":$tputHigh%.0f,"scaling_efficiency":$efficiency%.3f,""" +
+      f""""window":"$kgWindow","degraded_host":$degradedHost,""" +
       f""""pairs_sec":$pairsJson,""" +
+      f""""pairs_probe":$pairsProbeJson,""" +
       f""""span_probe":$spanProbeJson,""" +
       f""""cpu_ceiling_same_span":$cpuCeiling%.3f,""" +
       f""""membw_ceiling_same_span":$membwCeiling%.3f,""" +
       f""""efficiency_vs_ceiling":${math.min(1.0, efficiency / cpuCeiling)}%.3f}"""
     val headlineMeta = f""""queries_runs":$qruns,"headline_probe_before":$probeBefore%.0f,""" +
-      f""""headline_probe_after":$probeAfter%.0f,"headline_contaminated":$headlineContaminated"""
+      f""""headline_probe_after":$probeAfter%.0f,"headline_contaminated":$headlineContaminated,""" +
+      f""""headline_degraded":$headlineDegraded,""" +
+      f""""probe_floor":$probeFloor%.0f,"probe_clean_ref":$cleanRef%.0f,""" +
+      f""""probe_best_seen":$bestProbeSeen%.0f"""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$headlineMeta,"kg":$kg,"sf":"$sfDir"}""")
   }
 }

@@ -82,6 +82,11 @@ object SparkEntry {
           when(pmod(col("doc_id"), lit(17)) === 0, lit("DUP PAYLOAD"))
             .otherwise(col("text"))))),
     "d25_bigram_vocab" -> ((s, d) => DocOps.bigramVocab(s, d)),
+    // d27: the full BPE merge loop — 8 greedy rounds of count→argmax→
+    // merge over character symbols; the oracle UNROLLS the identical
+    // 8 rounds in SQL (both engines share the literal-replace merge-apply
+    // convention, see DocOps.bpeMerges)
+    "d27_bpe_merges" -> ((s, d) => DocOps.bpeMerges(s, d)),
     // d9 consumes d6's (oracle-expressible) Jaccard pairs so the full
     // pairs→clusters path is DuckDB-checked (recursive CTE); the SimHash
     // pair source remains covered by ComponentsSpec.
@@ -698,6 +703,39 @@ object SparkEntry {
     rows.mkString(",\n")
   }
 
+  /** The d27 oracle: the BPE merge loop UNROLLED to `nMerges` SQL rounds —
+    * each round recomputes pair counts from the previous round's spaced
+    * representation, picks the argmax (count DESC, pair ASC — total
+    * order), and applies the merge with the same two-pass literal replace
+    * the engine uses (see DocOps.bpeMerges' convention note). Char class
+    * spelled out ([^a-zA-Z0-9_] == \W on both regex engines) because this
+    * string is built with the s-interpolator. */
+  private def bpeOracleSql(nMerges: Int = 8): String = {
+    val rounds = (1 to nMerges).map { i =>
+      s"""t$i AS (SELECT list_filter(string_split(rep, ' '), x -> x <> '') AS tk, freq FROM r${i - 1}),
+         |p$i AS (SELECT unnest([tk[j] || ' ' || tk[j + 1] for j in range(1, len(tk))]) AS pair, freq
+         |  FROM t$i WHERE len(tk) >= 2),
+         |g$i AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p$i GROUP BY 1),
+         |b$i AS (SELECT pair, n FROM g$i ORDER BY n DESC, pair ASC LIMIT 1),
+         |r$i AS (SELECT replace(replace(r.rep, ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
+         |                       ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') AS rep, r.freq
+         |  FROM r${i - 1} r, b$i b)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to nMerges).map { i =>
+      s"  SELECT $i AS rank, pair, replace(pair, ' ', '') AS merged, n FROM b$i"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH tk0 AS (SELECT list_filter(
+       |    regexp_split_to_array(lower(text), '[^a-zA-Z0-9_]+'), x -> x <> '') AS tk
+       |  FROM documents),
+       |wrd AS (SELECT unnest(tk) AS word FROM tk0),
+       |wf AS (SELECT word, count(*) AS freq FROM wrd GROUP BY 1),
+       |r0 AS (SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS rep, freq FROM wf),
+       |$rounds
+       |SELECT * FROM (
+       |$sel
+       |) ORDER BY rank""".stripMargin
+  }
+
   /** The e3 LSH hyperplanes as DuckDB VALUES rows — the SAME splitmix64
     * components `EmbedOps.lshTopK` bakes into its projection, printed with
     * `%.17E` (always-exponent form parses as DOUBLE in DuckDB, 18
@@ -999,7 +1037,7 @@ object SparkEntry {
         |s AS (SELECT d.doc_id, COALESCE(c.representative, d.doc_id) AS representative
         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
         |SELECT doc_id, representative,
-        |  CASE WHEN ('0x' || substr(md5(CAST(representative AS VARCHAR)), 1, 6))::BIGINT
+        |  CASE WHEN ('0x' || substr(md5('split:' || CAST(representative AS VARCHAR)), 1, 6))::BIGINT
         |         < 12582912 THEN 'train' ELSE 'eval' END AS split
         |FROM s ORDER BY doc_id""".stripMargin,
     "d10_boilerplate_ngrams" ->
@@ -1941,6 +1979,8 @@ object SparkEntry {
         |  FROM t WHERE len(toks) >= 2)
         |SELECT bigram, count(*) AS n FROM p GROUP BY 1
         |ORDER BY n DESC, bigram ASC LIMIT 50""".stripMargin,
+    // d27: the merge loop unrolled to 8 SQL rounds — see bpeOracleSql
+    "d27_bpe_merges" -> bpeOracleSql(8),
     // o15: o3's injection/tagging/pair CTEs verbatim, plus the marginal
     // counts and the conversation total folded into the exact lift ratio
     // (BIGINT products < 2^53, one double division)

@@ -694,10 +694,18 @@ object DocOps {
 
   def domainMixSample(spark: SparkSession, dir: String,
                       weights: Map[String, Double] = defaultMixWeights,
-                      budgetFrac: Double = defaultBudgetFrac): DataFrame = {
+                      budgetFrac: Double = defaultBudgetFrac): DataFrame =
+    domainMixSampleOf(curationFrame(spark, dir), weights, budgetFrac)
+
+  /** d23 over a (doc_id, lang, toks) frame — the funnel derives it from
+    * the ONE persisted corpus frame; per-language totals are one tiny
+    * action against that cache (driver model state, the IVF convention). */
+  private[graft] def domainMixSampleOf(df: DataFrame,
+                                       weights: Map[String, Double],
+                                       budgetFrac: Double): DataFrame = {
     require(budgetFrac > 0 && budgetFrac <= 1.0,
       s"budgetFrac must be in (0, 1], got $budgetFrac")
-    val base = curationFrame(spark, dir)
+    val base = df
       .select(col("doc_id"), col("lang"), size(col("toks")).cast("long").as("n_tokens"))
     val totals: Map[String, Long] = base.groupBy("lang")
       .agg(sum(col("n_tokens")).as("t")).collect()
@@ -1024,6 +1032,81 @@ object DocOps {
       .limit(topK)
   }
 
+  /** d27 — the BPE merge LOOP (Sennrich et al. 2016): d25 counts one
+    * round's pair frequencies; this runs the actual vocabulary induction —
+    * `nMerges` greedy rounds of count-adjacent-pairs → argmax →
+    * merge-everywhere, over character symbols within words. Output: one
+    * row per round (rank, pair, merged, n), the merge table a tokenizer
+    * ships as model state.
+    *
+    * Working set: the DISTINCT-WORD frame with frequencies — the classic
+    * BPE corpus compression. The corpus is scanned ONCE (the word-count
+    * agg, d1's shape); every merge round then re-pairs |vocab| rows, not
+    * corpus rows, and each round is one partial-agg'd groupBy over pair
+    * keys plus a deterministic argmax (count DESC, pair ASC — total
+    * order) collected as driver model state, the same distributed-
+    * iteration discipline as Lloyd/BFS/power-iteration. Each round's
+    * rewritten representation is persisted and the previous one released,
+    * so lineage stays one round deep.
+    *
+    * Merge-apply convention (identical on both engines, which is what
+    * makes the loop ORACLE-EXACT): words are spaced symbol strings
+    * (' k e y '), a merge replaces the full-token-delimited ' l r ' with
+    * ' lr ' via TWO passes of the engines' shared non-overlapping
+    * left-to-right literal replace — pass 1 merges alternating occurrences
+    * of a chain (consecutive occurrences share a delimiter space), pass 2
+    * the now-isolated remainder, after which no occurrence can survive
+    * (a merged token never re-creates the spaced pattern). Pair counts
+    * are the standard overlapping adjacent counts. OpsSpec pins the whole
+    * loop against an independent JDK implementation of the same spec. */
+  def bpeMerges(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame =
+    bpeMergesOf(docs(spark, dir), nMerges)
+
+  private[graft] def bpeMergesOf(df: DataFrame, nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 64,
+      s"bpeMerges needs 1 <= nMerges <= 64, got $nMerges")
+    val spark = df.sparkSession
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val words = df.withColumn("toks", toks)
+      .select(explode(col("toks")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var rep = words
+      .select(concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("rep"),
+        col("freq"))
+      .persist(disk)
+    rep.count()
+    val pairsCol = expr(
+      "transform(sequence(1, size(tk) - 1), " +
+        "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i+1)))")
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (i <- 1 to nMerges if !exhausted) {
+      val best = rep
+        .select(expr("filter(split(rep, ' '), x -> x != '')").as("tk"), col("freq"))
+        .filter(size(col("tk")) >= 2)
+        .select(explode(pairsCol).as("pair"), col("freq"))
+        .groupBy("pair").agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // corpus fully merged before nMerges
+      else {
+        val (pair, n) = (best(0).getString(0), best(0).getLong(1))
+        merges += ((i, pair, pair.replace(" ", ""), n))
+        val pat = lit(s" $pair ")
+        val rpl = lit(" " + pair.replace(" ", "") + " ")
+        def apply1(c: Column) = call_function("replace", c, pat, rpl)
+        val next = rep.select(apply1(apply1(col("rep"))).as("rep"), col("freq"))
+          .persist(disk)
+        next.count()
+        rep.unpersist()
+        rep = next
+      }
+    }
+    rep.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "pair", "merged", "n").orderBy("rank")
+  }
+
   /** d26 — cluster-aware train/eval split: the holdout assignment is keyed
     * by each document's near-dup CLUSTER representative, not the document
     * itself, so near-duplicates can never straddle the split (the classic
@@ -1031,8 +1114,12 @@ object DocOps {
     * of a near-dup pair and the eval set silently overlaps the training
     * distribution). Clusters come from the d6→d9 pairs→components chain;
     * docs with no near-dup are their own singleton cluster. The bucket is
-    * d12's stable md5 construction over the representative id —
-    * deterministic, RNG-free, identical at any cluster size.
+    * d12's stable md5 construction over a SALTED representative id
+    * ('split:' prefix) — deterministic, RNG-free, identical at any cluster
+    * size, and statistically independent of d12's unsalted sample key: an
+    * unsalted split key degenerates downstream of stratified sampling
+    * (every d12 survivor has md5-bucket < its keep cut, so it would land
+    * entirely on the split's train side — the funnel hit exactly this).
     *
     * Scale shape: the cluster frame only holds docs that HAVE a near-dup
     * (typically a few % of a deduplicated corpus), the left join is a
@@ -1053,7 +1140,7 @@ object DocOps {
       .select(col("doc_id"),
         coalesce(col("representative"), col("doc_id")).as("representative"))
       .withColumn("bucket", expr(
-        "cast(conv(substring(md5(cast(representative as string)), 1, 6), 16, 10) as bigint)"))
+        "cast(conv(substring(md5(concat('split:', cast(representative as string))), 1, 6), 16, 10) as bigint)"))
       .select(col("doc_id"), col("representative"),
         when(col("bucket") < cut, "train").otherwise("eval").as("split"))
       .orderBy("doc_id")

@@ -28,10 +28,18 @@ import graft.dict.EnvoDict
   *  - `triples/batch=N/`  per-conv triples of batch N (overwrite-by-batch)
   *  - `convs/batch=N/`    conv_ids ingested by batch N
   *  - `cooc/v=N/`         merged pair counts AFTER batch N
-  *  - `index.manifest.json` committed LAST: {batch, configKey}. A crashed
-  *    append leaves the manifest at N-1; the retry recomputes batch N and
-  *    overwrites its own subdirectories, so partial output is never read
-  *    (readers only open batch dirs the manifest has committed).
+  *  - `triples/snapshot=M/`, `convs/snapshot=M/` — COMPACTED state through
+  *    batch M (see [[compact]]): after N appends every reader otherwise
+  *    pays N-way read amplification (N parquet dir opens per consumer);
+  *    compaction folds batches 1..M into one snapshot and readers open
+  *    snapshot=M plus only the batches after it.
+  *  - `index.manifest.json` committed LAST: {batch, configKey, compacted}.
+  *    A crashed append leaves the manifest at N-1; the retry recomputes
+  *    batch N and overwrites its own subdirectories, so partial output is
+  *    never read (readers only open dirs the manifest has committed). A
+  *    crashed COMPACTION leaves `compacted` at its old value — the
+  *    half-written snapshot dir is unreferenced, readers keep using the
+  *    batch dirs, and the retry overwrites it (idempotent).
   *
   * Ingest contract: the unit is a COMPLETE conversation. Conversations
   * already in the index are skipped (idempotent re-delivery); a
@@ -61,8 +69,10 @@ object IncrementalKg {
   private def configKey(cfg: PipelineConfig, dict: EnvoDict): String =
     s"${cfg.score}|dedupe=${cfg.dedupeTexts}|dict:${dict.contentDigest}"
 
-  /** (committed batch count, configKey) or None for a fresh store. */
-  private def readManifest(dir: String): Option[(Int, String)] = {
+  /** (committed batch count, configKey, compacted-through batch) or None
+    * for a fresh store. `compacted` defaults to 0 for pre-compaction
+    * manifests (every batch dir still live). */
+  private def readManifest(dir: String): Option[(Int, String, Int)] = {
     val p = manifestPath(dir)
     if (!Files.exists(p)) None
     else {
@@ -73,15 +83,26 @@ object IncrementalKg {
       val key = """"configKey"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(s)
         .map(_.group(1))
         .getOrElse(throw new IllegalStateException(s"malformed manifest $p"))
-      Some((batch, key))
+      val compacted = """"compacted"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
+        .map(_.group(1).toInt).getOrElse(0)
+      Some((batch, key, compacted))
     }
   }
 
-  private def writeManifest(dir: String, batch: Int, key: String): Unit = {
+  private def writeManifest(dir: String, batch: Int, key: String,
+                            compacted: Int): Unit = {
     Files.createDirectories(Paths.get(dir))
     Files.write(manifestPath(dir),
-      s"""{"batch":$batch,"configKey":"$key"}""".getBytes(StandardCharsets.UTF_8))
+      s"""{"batch":$batch,"configKey":"$key","compacted":$compacted}"""
+        .getBytes(StandardCharsets.UTF_8))
   }
+
+  /** The live parquet dirs of a family: the snapshot (when one is
+    * committed) plus every batch after it — what compaction buys is this
+    * list staying O(appends since last compaction) instead of O(N). */
+  private def liveDirs(dir: String, family: String, n: Int, compacted: Int): Seq[String] =
+    (if (compacted > 0) Seq(s"$dir/$family/snapshot=$compacted") else Nil) ++
+      (compacted + 1 to n).map(b => s"$dir/$family/batch=$b")
 
   /** Ingest one batch of turns; returns what was appended. */
   def append(spark: SparkSession, indexDir: String, turns: DataFrame,
@@ -90,20 +111,20 @@ object IncrementalKg {
     val pipe = new KgPipeline(spark, cfg, dictOverride)
     val key = configKey(cfg, pipe.dict)
     val existing = readManifest(indexDir)
-    existing.foreach { case (_, k) =>
+    existing.foreach { case (_, k, _) =>
       if (k != key) throw new IllegalStateException(
         s"index $indexDir was built under a different configuration/dictionary " +
           s"(indexed: $k, append: $key) — indexed scores must not drift across batches")
     }
     val batchNo = existing.map(_._1 + 1).getOrElse(1)
+    val compacted = existing.map(_._3).getOrElse(0)
 
     val batchConvs = turns.select("conv_id").distinct().persist(disk)
     val nBatch = batchConvs.count()
     val fresh = existing match {
       case None => turns
-      case Some((n, _)) =>
-        val indexed = spark.read.parquet(
-          (1 to n).map(b => s"$indexDir/convs/batch=$b"): _*)
+      case Some((n, _, c)) =>
+        val indexed = spark.read.parquet(liveDirs(indexDir, "convs", n, c): _*)
         val dup = indexed.join(broadcast(batchConvs), Seq("conv_id"), "left_semi")
         turns.join(broadcast(dup), Seq("conv_id"), "left_anti")
     }
@@ -127,7 +148,7 @@ object IncrementalKg {
     val delta = r.coOccurrence.select("envo_a", "envo_b", "n_convs")
     val merged = existing match {
       case None => delta
-      case Some((n, _)) =>
+      case Some((n, _, _)) =>
         spark.read.parquet(s"$indexDir/cooc/v=$n")
           .unionByName(delta)
           .groupBy("envo_a", "envo_b").agg(sum("n_convs").as("n_convs"))
@@ -135,7 +156,7 @@ object IncrementalKg {
     merged.write.mode("overwrite").parquet(s"$indexDir/cooc/v=$batchNo")
 
     freshConvs.write.mode("overwrite").parquet(s"$indexDir/convs/batch=$batchNo")
-    writeManifest(indexDir, batchNo, key)
+    writeManifest(indexDir, batchNo, key, compacted)
 
     convTriples.unpersist(); batchConvs.unpersist(); freshConvs.unpersist()
     r.unpersist()
@@ -148,17 +169,70 @@ object IncrementalKg {
     * whole-corpus run over everything ingested. */
   def triples(spark: SparkSession, indexDir: String,
               dictOverride: Option[EnvoDict] = None): DataFrame = {
-    val (n, key) = readManifest(indexDir).getOrElse(
+    val (n, key, compacted) = readManifest(indexDir).getOrElse(
       throw new IllegalStateException(s"no committed index at $indexDir"))
     val dict = dictOverride.getOrElse(KgPipeline.sharedDict)
     val digest = s"dict:${dict.contentDigest}"
     if (!key.endsWith(digest)) throw new IllegalStateException(
       s"index $indexDir was built under a different dictionary than the reader's")
-    val perConv = spark.read.parquet(
-      (1 to n).map(b => s"$indexDir/triples/batch=$b"): _*)
+    val perConv = spark.read.parquet(liveDirs(indexDir, "triples", n, compacted): _*)
     val cooc = spark.read.parquet(s"$indexDir/cooc/v=$n")
     perConv.unionByName(
       TripleEmit.coOccurrenceTriples(spark, cooc, dict)
         .select("subj", "pred", "obj", "weight", "evidence"))
+  }
+
+  final case class CompactStats(batch: Int, previouslyCompacted: Int,
+                                triples: Long, convs: Long)
+
+  /** Fold every live batch dir (plus the previous snapshot) into ONE
+    * snapshot per family and commit it in the manifest — after N appends a
+    * consumer otherwise opens N parquet dirs per read (N-way read
+    * amplification); post-compaction it opens one snapshot plus only the
+    * batches appended since. Rows are copied VERBATIM (one distributed
+    * read → write per family, no recompute, no re-agg — the cooc state is
+    * already a single merged dir per version), so reads before and after
+    * compaction are byte-identical.
+    *
+    * Crash contract (the same commit-last discipline as append): the
+    * snapshot dirs are written FIRST and the manifest's `compacted` field
+    * LAST, so a compaction that dies mid-write leaves readers on the batch
+    * dirs, untouched and consistent; the retry overwrites the
+    * half-written snapshot (idempotent). Once committed, the folded batch
+    * dirs and stale cooc versions are deleted best-effort — a crash
+    * between commit and cleanup leaves unreferenced garbage, never a bad
+    * read. */
+  def compact(spark: SparkSession, indexDir: String): CompactStats = {
+    val (n, key, c) = readManifest(indexDir).getOrElse(
+      throw new IllegalStateException(s"no committed index at $indexDir"))
+    if (c == n) return CompactStats(n, c, 0L, 0L) // nothing to fold
+    // read the live set THROUGH the committed manifest, write the new
+    // snapshot under the not-yet-referenced snapshot=n path
+    val tri = spark.read.parquet(liveDirs(indexDir, "triples", n, c): _*)
+    tri.write.mode("overwrite").parquet(s"$indexDir/triples/snapshot=$n")
+    val cv = spark.read.parquet(liveDirs(indexDir, "convs", n, c): _*)
+    cv.write.mode("overwrite").parquet(s"$indexDir/convs/snapshot=$n")
+    val (nTri, nCv) = (
+      spark.read.parquet(s"$indexDir/triples/snapshot=$n").count(),
+      spark.read.parquet(s"$indexDir/convs/snapshot=$n").count())
+    writeManifest(indexDir, n, key, compacted = n) // the commit point
+    // best-effort cleanup of now-unreferenced dirs (batch dirs <= n, the
+    // previous snapshot, stale cooc versions)
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala.toSeq.reverseIterator
+          .foreach(f => Files.deleteIfExists(f))
+      }
+    (1 to n).foreach { b =>
+      rmTree(Paths.get(indexDir, "triples", s"batch=$b"))
+      rmTree(Paths.get(indexDir, "convs", s"batch=$b"))
+    }
+    if (c > 0) {
+      rmTree(Paths.get(indexDir, "triples", s"snapshot=$c"))
+      rmTree(Paths.get(indexDir, "convs", s"snapshot=$c"))
+    }
+    (1 until n).foreach(v => rmTree(Paths.get(indexDir, "cooc", s"v=$v")))
+    CompactStats(n, c, nTri, nCv)
   }
 }

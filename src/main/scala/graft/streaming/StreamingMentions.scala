@@ -107,6 +107,56 @@ object StreamingMentions {
     mentionStream(spark, gated, ac)
   }
 
+  /** Streaming ingest INTO the committed KG store — the seam that closes
+    * the loop between the streaming surface and [[graft.stages
+    * .IncrementalKg]]: the curation gates run at the stream boundary
+    * (watermark-bounded exact dedup + the quality projection, exactly
+    * `curatedIngest`'s gates) and every micro-batch lands as ONE
+    * `IncrementalKg.append` via foreachBatch — the streaming twin of
+    * d18's batch flow. The store's commit-last manifest gives the sink
+    * crash safety (a batch that dies mid-append is recomputed and
+    * overwrites its own dirs on restart), and append's idempotent
+    * conversation skip absorbs the source's at-least-once re-delivery —
+    * a replayed micro-batch re-appends nothing.
+    *
+    * Ingest contract (inherited from the store): the unit is a COMPLETE
+    * conversation — route a conversation's turns into one micro-batch
+    * (close conversations before emitting them upstream); a conversation
+    * split across micro-batches would have its later half skipped.
+    *
+    * `dedupe=false` disables the content-hash gate (exact duplicate TEXTS
+    * across conversations are legitimate in transcript corpora; the
+    * pipeline's dedupeTexts already de-duplicates the TAGGING work) —
+    * with it off, N streamed appends reproduce one whole-corpus batch run
+    * byte-exactly (IncrementalKgSpec pins it against the o14 contract). */
+  def ingestToStore(spark: SparkSession, turns: Dataset[Turn], indexDir: String,
+                    cfg: graft.PipelineConfig = graft.PipelineConfig(persistIntermediates = true),
+                    dictOverride: Option[graft.dict.EnvoDict] = None,
+                    dedupe: Boolean = false,
+                    minQuality: Double = 0.0,
+                    lateness: String = "10 minutes",
+                    checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val cols = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val gated0 =
+      if (dedupe) dedupStream(turns.toDF(), lateness).select(cols.map(col): _*)
+      else turns.toDF()
+    val gated =
+      if (minQuality > 0.0)
+        gated0.filter(graft.ops.DocOps.qualityExpr(col("text")) >= minQuality)
+      else gated0
+    val writer = gated.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.stages.IncrementalKg.append(spark, indexDir, batch, cfg, dictOverride)
+          ()
+        }
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+
   /** Streaming NEAR-dup detection — the streaming twin of the batch SimHash
     * operator (d8): each arriving doc's 60-bit signature is computed
     * row-locally (the same spec the batch op's DuckDB oracle checks,

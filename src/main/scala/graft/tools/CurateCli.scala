@@ -10,6 +10,10 @@ import graft.ops.{Components, DocOps}
  * ONE job composed from the library's operators:
  *
  *   input docs
+ *     → priority dedup     (d24: cross-source duplicate classes keep the
+ *                           best-ranked source's copy — runs FIRST because
+ *                           the source-aware keep rule must see every copy
+ *                           before any other dedup collapses the class)
  *     → exact dedup        (d1: md5 keep-min)
  *     → near-dup dedup     (d7 MinHash+LSH pairs → d9 clusters, keep each
  *                           cluster's representative)
@@ -17,14 +21,22 @@ import graft.ops.{Components, DocOps}
  *                           benchmark set)
  *     → quality gate       (d3: composite score ≥ threshold)
  *     → language gate      (d4: identified language only)
+ *     → classifier gate    (d22: hashed-linear quality classifier, keep
+ *                           positive logits)
+ *     → mixture sample     (d23: per-language token budget re-balancing)
  *     → stratified sample  (d12: deterministic per-language keep rate)
  *     → boilerplate strip  (d17: high-df shingle spans removed from the
  *                           token stream; all-boilerplate docs drop out)
  *     → chunking           (d11: fixed-token windows with overlap)
+ *     → train/eval split   (d26, terminal: holdout keyed by the d9
+ *                           near-dup cluster representative — reuses the
+ *                           SAME cluster frame the near-dup stage built,
+ *                           so near-duplicates never straddle the split)
  *
  * Prints one funnel line per stage (stage, rows kept) — no silent drops —
- * and writes the surviving chunks + the funnel table to out_dir. Every
- * stage is deterministic, so reruns produce identical funnels.
+ * and writes the surviving chunks + the split assignment + the funnel
+ * table to out_dir. Every stage is deterministic, so reruns produce
+ * identical funnels.
  *
  * Single-read: the WHOLE funnel derives from ONE persisted tokenized
  * corpus frame (DocOps.curationFrame — doc_id, text, lang, toks). Exact
@@ -51,7 +63,9 @@ object CurateCli {
       overlap: Int = 10,
       /** d17 stop-shingle document-frequency cap. 5 bites on the synthetic
         * corpus; production corpora want the operator default (50+). */
-      stripDfCap: Int = 5)
+      stripDfCap: Int = 5,
+      /** d26 terminal split: train share of near-dup cluster buckets. */
+      trainFrac: Double = 0.75)
 
   /** Runs the funnel; returns (stage, rowsKept) in order and writes
     * chunks + funnel to outDir. */
@@ -75,16 +89,30 @@ object CurateCli {
 
     val all = stage("input", corpus.select("doc_id"))
 
-    // d1: one survivor per exact content hash
+    // d24: cross-source duplicate classes keep the best-ranked source's
+    // copy — FIRST, so the source-aware rule sees every copy of a class
+    // (after d1's id-keyed keep-min the better-ranked copy might be gone)
+    val prioritized = stage("priority_dedup",
+      all.join(DocOps.priorityDedupOf(corpus).filter(col("kept") === 1L)
+        .select("doc_id"), Seq("doc_id"), "left_semi"))
+
+    // d1: one survivor per exact content hash (a no-op on d24 survivors
+    // only when every class was cross-source; kept as the belt-and-braces
+    // content gate and for the funnel telemetry)
     val exact = stage("exact_dedup",
-      all.join(DocOps.exactDedupOf(corpus)
+      prioritized.join(DocOps.exactDedupOf(corpus)
         .select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi"))
 
     // d7 → d9: drop every near-dup cluster member except its representative.
     // The shingle rows both d7 and d13 consume come off the shared frame's
-    // cached toks (a projection, not a scan).
-    val nearDupLosers = Components
+    // cached toks (a projection, not a scan). The cluster frame is
+    // persisted: the near-dup gate consumes it here and the TERMINAL d26
+    // split keys its holdout by the same representatives.
+    val clusters = Components
       .dupClusters(spark, DocOps.minhashLshPairsOf(DocOps.shinglesOf(corpus)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    stageFrames += clusters
+    val nearDupLosers = clusters
       .filter(col("doc_id") =!= col("representative"))
       .select("doc_id")
     val nearDeduped = stage("near_dedup",
@@ -109,8 +137,23 @@ object CurateCli {
     val gated = stage("lang_gate", gated1.join(
       signals.filter(col("pred_lang") =!= "und").select("doc_id"),
       Seq("doc_id"), "left_semi"))
+
+    // d22: the hashed-linear classifier gate (positive logit keeps) —
+    // one more derivation of the shared corpus frame
+    val classified = stage("classifier_gate", gated.join(
+      DocOps.qualityClassifyOf(corpus, buckets = 4096)
+        .filter(col("kept") === 1L).select("doc_id"),
+      Seq("doc_id"), "left_semi"))
+
+    // d23: language-mixture re-balancing to the token budget (per-lang
+    // totals are one tiny action against the cached corpus)
+    val mixed = stage("mixture_sample", classified.join(
+      DocOps.domainMixSampleOf(corpus, DocOps.defaultMixWeights,
+        DocOps.defaultBudgetFrac).select("doc_id"),
+      Seq("doc_id"), "left_semi"))
+
     val sampled = stage("stratified_sample",
-      gated.join(
+      mixed.join(
         signals.filter(col("bucket") < DocOps.sampleCut(Map("en" -> cfg.sampleEn)))
           .select("doc_id"),
         Seq("doc_id"), "left_semi"))
@@ -134,6 +177,19 @@ object CurateCli {
       .join(stripKept, Seq("doc_id"), "left_semi")
     chunks.write.mode("overwrite").parquet(s"$outDir/chunks")
     funnel += "chunks" -> spark.read.parquet(s"$outDir/chunks").count()
+
+    // d26 (terminal): train/eval holdout keyed by the d9 cluster
+    // representative — the SAME persisted cluster frame the near-dup gate
+    // used, so no near-dup pair can straddle the split even when one
+    // member survived a later gate and its twin did not (the bucket is a
+    // function of the representative, not the survivor)
+    val split = DocOps.clusterSplitOf(stripKept, clusters, cfg.trainFrac)
+      .persist()
+    stageFrames += split
+    split.write.mode("overwrite").parquet(s"$outDir/split")
+    funnel += "split_train" -> split.filter(col("split") === "train").count()
+    funnel += "split_eval" -> split.filter(col("split") === "eval").count()
+
     corpus.unpersist()
     stageFrames.foreach(_.unpersist())
 
@@ -159,7 +215,8 @@ object CurateCli {
       benchmarkN = a.getOrElse("benchmark_n", "20").toLong,
       chunkTokens = a.getOrElse("chunk_tokens", "50").toInt,
       overlap = a.getOrElse("overlap", "10").toInt,
-      stripDfCap = a.getOrElse("strip_df_cap", "5").toInt)
+      stripDfCap = a.getOrElse("strip_df_cap", "5").toInt,
+      trainFrac = a.getOrElse("train_frac", "0.75").toDouble)
     val spark = Sessions.local(a.getOrElse("num_threads", "8").toInt, appName = "graft-curate")
     val funnel = run(spark, a("docs_dir"), a("out_dir"), cfg)
     funnel.foreach { case (s, n) => println(f"[curate] $s%-18s $n%9d") }

@@ -11,18 +11,30 @@ class CurateSpec extends SparkSpec {
     val out1 = java.nio.file.Files.createTempDirectory("graft-curate1").toString
     val f1 = CurateCli.run(spark, dir, out1)
     val stages = f1.map(_._1)
-    assert(stages === Seq("input", "exact_dedup", "near_dedup", "decontaminate",
-      "quality_gate", "lang_gate", "stratified_sample", "boilerplate_strip", "chunks"))
-    // doc-id stages only (chunking legitimately multiplies rows)
-    val docStages = f1.dropRight(1).map(_._2)
+    assert(stages === Seq("input", "priority_dedup", "exact_dedup", "near_dedup",
+      "decontaminate", "quality_gate", "lang_gate", "classifier_gate",
+      "mixture_sample", "stratified_sample", "boilerplate_strip", "chunks",
+      "split_train", "split_eval"))
+    val byName = f1.toMap
+    // doc-id stages only (chunking legitimately multiplies rows; the
+    // terminal split PARTITIONS the strip survivors rather than gating)
+    val docStages = f1.dropRight(3).map(_._2)
     assert(docStages === docStages.zip(docStages.head +: docStages).map(x => math.min(x._1, x._2)),
       s"funnel must be monotone: $f1")
-    assert(f1.last._2 > 0, "survivors must produce chunks")
+    assert(byName("chunks") > 0, "survivors must produce chunks")
     // every gate with a configured bite actually dropped something (the
-    // testdata has no exact duplicates, so near-dup is the first real bite)
-    assert(f1(2)._2 < f1(1)._2, "near-dup clusters should drop members")
-    assert(f1(3)._2 < f1(2)._2, "benchmark removal should drop rows")
-    assert(f1(6)._2 < f1(5)._2, "en downsample should drop rows")
+    // testdata has no exact/cross-source duplicates, so near-dup is the
+    // first real bite)
+    assert(byName("near_dedup") < byName("exact_dedup"), "near-dup clusters should drop members")
+    assert(byName("decontaminate") < byName("near_dedup"), "benchmark removal should drop rows")
+    assert(byName("classifier_gate") < byName("lang_gate"), "classifier should drop rows")
+    assert(byName("mixture_sample") < byName("classifier_gate"), "mixture budget should drop rows")
+    assert(byName("stratified_sample") < byName("mixture_sample"), "en downsample should drop rows")
+    // the terminal split partitions the strip survivors exactly
+    assert(byName("split_train") + byName("split_eval") === byName("boilerplate_strip"),
+      s"split must partition the strip survivors: $f1")
+    assert(byName("split_train") > 0 && byName("split_eval") > 0,
+      "both split sides should be populated at trainFrac=0.75")
 
     val out2 = java.nio.file.Files.createTempDirectory("graft-curate2").toString
     val f2 = CurateCli.run(spark, dir, out2)
@@ -45,7 +57,17 @@ class CurateSpec extends SparkSpec {
     // surviving chunks reference only post-strip surviving docs
     val chunkDocs = spark.read.parquet(s"$out1/chunks")
       .select("doc_id").distinct().count()
-    assert(chunkDocs === f1(7)._2)
+    assert(chunkDocs === byName("boilerplate_strip"))
+
+    // the written split assignment: near-dup classes never straddle it —
+    // every doc in a cluster carries its representative's side
+    val splitRows = spark.read.parquet(s"$out1/split")
+      .select("doc_id", "representative", "split").collect()
+    assert(splitRows.length === byName("boilerplate_strip"))
+    val repSide = splitRows.groupBy(_.getLong(1)).view.mapValues(_.map(_.getString(2)).toSet)
+    repSide.foreach { case (rep, sides) =>
+      assert(sides.size === 1, s"cluster $rep straddles the split: $sides")
+    }
   }
 
   test("gate signals: one corpus scan serves all three projection gates") {
@@ -92,9 +114,13 @@ class CurateSpec extends SparkSpec {
       corpus.count() // materialize the one corpus read
       val stagePlans = Map(
         "exact_dedup" -> DocOps.exactDedupOf(corpus),
+        "priority_dedup" -> DocOps.priorityDedupOf(corpus),
         "near_dup_pairs" -> DocOps.minhashLshPairsOf(DocOps.shinglesOf(corpus)),
         "decontaminate" -> DocOps.decontaminateOf(DocOps.shinglesOf(corpus), 20, 3),
         "gate_signals" -> DocOps.gateSignalsOf(corpus),
+        "classifier_gate" -> DocOps.qualityClassifyOf(corpus, 4096),
+        "mixture_sample" -> DocOps.domainMixSampleOf(corpus,
+          DocOps.defaultMixWeights, DocOps.defaultBudgetFrac),
         "boilerplate_strip" -> DocOps.strippedToksOf(corpus, 5),
         "chunks" -> DocOps.chunkDocsOf(corpus, 50, 10))
       // AdaptiveSparkPlanExec is itself a LeafExecNode — descend into its

@@ -723,6 +723,52 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](DocOps.bigramVocabOf(df, 0))
   }
 
+  test("BPE merge loop: matches an independent JDK implementation") {
+    import spark.implicits._
+    // Independent implementation of the documented spec — JDK string ops
+    // only, nothing shared with the Spark op: overlapping adjacent pair
+    // counts over distinct words, argmax by (count DESC, pair ASC),
+    // two-pass non-overlapping literal replace as the merge-apply.
+    def jdkBpe(texts: Seq[String], k: Int): Seq[(Int, String, String, Long)] = {
+      val words = texts.flatMap(_.toLowerCase.split("\\W+").filter(_.nonEmpty))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      var reps = words.toSeq.map { case (w, f) => (" " + w.mkString(" ") + " ", f) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var done = false
+      for (i <- 1 to k if !done) {
+        val counts = scala.collection.mutable.Map.empty[String, Long]
+        reps.foreach { case (rep, f) =>
+          val tk = rep.split(" ").filter(_.nonEmpty)
+          (0 until tk.length - 1).foreach { j =>
+            val p = tk(j) + " " + tk(j + 1)
+            counts(p) = counts.getOrElse(p, 0L) + f
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val (pair, n) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+          out += ((i, pair, pair.replace(" ", ""), n))
+          val pat = " " + pair + " "
+          val rpl = " " + pair.replace(" ", "") + " "
+          reps = reps.map { case (rep, f) => (rep.replace(pat, rpl).replace(pat, rpl), f) }
+        }
+      }
+      out.toSeq
+    }
+    // planted corpus exercising the convention's edge cases: same-symbol
+    // runs (aaaa), alternating chains (abab: consecutive occurrences share
+    // a delimiter — pass 2 must finish them), multi-char merged symbols
+    val texts = Seq("banana banana bandana", "aaaa abab abab cable banana",
+      "banana cable table bable an na")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = DocOps.bpeMergesOf(df, 6).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val exp = jdkBpe(texts, 6)
+    assert(got === exp)
+    assert(got.length === 6)
+    intercept[IllegalArgumentException](DocOps.bpeMergesOf(df, 0))
+  }
+
   test("co-occurrence lift: exact independence ratio on a hand-built frame") {
     import spark.implicits._
     val dict = graft.dict.EnvoDict.load()
@@ -828,10 +874,11 @@ class OpsSpec extends SparkSpec {
     // same representative -> same split, unconditionally
     assert(r(1L)._1 === 1L && r(2L)._1 === 1L && r(1L)._2 === r(2L)._2)
     assert(r(3L)._1 === 3L && r(4L)._1 === 3L && r(3L)._2 === r(4L)._2)
-    // the bucket is the documented md5 construction (independent JDK digest)
+    // the bucket is the documented SALTED md5 construction (independent
+    // JDK digest; the 'split:' salt decorrelates it from d12's sample key)
     def expected(rep: Long): String = {
       val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(rep.toString.getBytes("UTF-8"))
+      val hex = md.digest(s"split:$rep".getBytes("UTF-8"))
         .map(b => f"${b & 0xff}%02x").mkString
       val bucket = java.lang.Long.parseLong(hex.substring(0, 6), 16)
       if (bucket < (0.75 * (1 << 24)).toLong) "train" else "eval"
