@@ -37,7 +37,7 @@ object Bench {
     "d22_quality_classifier", "d23_domain_mixture",
     "d24_priority_dedup", "d25_bigram_vocab", "e7_sq_topk",
     // round-6 additions
-    "d27_bpe_merges", "e8_ivf_sq_topk")
+    "d27_bpe_merges", "d28_bpe_encode", "e8_ivf_sq_topk")
 
   private def time[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
@@ -51,7 +51,9 @@ object Bench {
     * measures nothing). Returns texts/sec. Establishes the HARDWARE
     * ceiling of a core span (this sandbox's vCPUs are SMT/host-capped, so
     * even an embarrassingly parallel loop cannot scale 4x on every span). */
-  private def rawCpuProbe(threads: Int, texts: Array[String], minSec: Double = 1.2): Double = {
+  /** Shared with tools.PairBench so ad-hoc scaling pairs are bracketed by
+    * the SAME measurement the official artifact's floor is calibrated in. */
+  private[graft] def rawCpuProbe(threads: Int, texts: Array[String], minSec: Double = 1.2): Double = {
     val ac = KgPipeline.sharedAutomaton
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     val counts = new java.util.concurrent.atomic.AtomicLong()
@@ -104,6 +106,11 @@ object Bench {
     * standard 8-thread probe size (the calibration's unit). */
   private val cleanRefDefault = 2.8e6
   private val FloorFrac = 0.65
+
+  /** The standard probe corpus (shared with tools.PairBench). */
+  private[graft] def defaultProbeTexts: Array[String] = (0L until 20000L)
+    .flatMap(i => TranscriptGen.turnsFor(i, 42L, 6, 1, verbosity = 6).map(_.text))
+    .take(60000).toArray
   private var bestProbeSeen = 0.0
   private def trackProbe(rate: Double): Double = {
     if (rate > bestProbeSeen) bestProbeSeen = rate
@@ -154,9 +161,7 @@ object Bench {
     // load and is not predicted by a bare thread loop (cache-friendly
     // tagging vs shuffle-heavy execution), so probe both spans with a
     // quick quarter-size Spark pair and benchmark on the better one.
-    val probeTexts = (0L until 20000L)
-      .flatMap(i => TranscriptGen.turnsFor(i, 42L, 6, 1, verbosity = 6).map(_.text))
-      .take(60000).toArray
+    val probeTexts = defaultProbeTexts
     rawCpuProbe(math.min(cpus, 16), probeTexts, minSec = 0.5) // JIT warmup
     // fallback for cpus < 8: a (cpus/4, cpus) span — an empty span list
     // would crash spanEffs.maxBy after the whole headline pass

@@ -87,6 +87,10 @@ object SparkEntry {
     // 8 rounds in SQL (both engines share the literal-replace merge-apply
     // convention, see DocOps.bpeMerges)
     "d27_bpe_merges" -> ((s, d) => DocOps.bpeMerges(s, d)),
+    // d28: apply the induced merge table — per-doc BPE token counts via
+    // the encoded-vocab join (the oracle reuses d27's CTE chain and joins
+    // the final round's word→rep vocabulary back to the corpus)
+    "d28_bpe_encode" -> ((s, d) => DocOps.bpeEncode(s, d)),
     // d9 consumes d6's (oracle-expressible) Jaccard pairs so the full
     // pairs→clusters path is DuckDB-checked (recursive CTE); the SimHash
     // pair source remains covered by ComponentsSpec.
@@ -703,38 +707,61 @@ object SparkEntry {
     rows.mkString(",\n")
   }
 
-  /** The d27 oracle: the BPE merge loop UNROLLED to `nMerges` SQL rounds —
-    * each round recomputes pair counts from the previous round's spaced
-    * representation, picks the argmax (count DESC, pair ASC — total
-    * order), and applies the merge with the same two-pass literal replace
-    * the engine uses (see DocOps.bpeMerges' convention note). Char class
+  /** The d27/d28 oracle CTE chain: the BPE merge loop UNROLLED to
+    * `nMerges` SQL rounds — each round recomputes pair counts from the
+    * previous round's spaced representation, picks the argmax (count DESC,
+    * pair ASC — total order), and applies the merge with the same two-pass
+    * literal replace the engine uses (see DocOps.bpeMerges' convention
+    * note). `word` is carried through every round so the final r_n is the
+    * ENCODED VOCABULARY (word → rep) the d28 tail joins on. Char class
     * spelled out ([^a-zA-Z0-9_] == \W on both regex engines) because this
     * string is built with the s-interpolator. */
-  private def bpeOracleSql(nMerges: Int = 8): String = {
+  private def bpeCtes(nMerges: Int): String = {
     val rounds = (1 to nMerges).map { i =>
       s"""t$i AS (SELECT list_filter(string_split(rep, ' '), x -> x <> '') AS tk, freq FROM r${i - 1}),
          |p$i AS (SELECT unnest([tk[j] || ' ' || tk[j + 1] for j in range(1, len(tk))]) AS pair, freq
          |  FROM t$i WHERE len(tk) >= 2),
          |g$i AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p$i GROUP BY 1),
          |b$i AS (SELECT pair, n FROM g$i ORDER BY n DESC, pair ASC LIMIT 1),
-         |r$i AS (SELECT replace(replace(r.rep, ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
+         |r$i AS (SELECT r.word, replace(replace(r.rep, ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
          |                       ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') AS rep, r.freq
          |  FROM r${i - 1} r, b$i b)""".stripMargin
     }.mkString(",\n")
-    val sel = (1 to nMerges).map { i =>
-      s"  SELECT $i AS rank, pair, replace(pair, ' ', '') AS merged, n FROM b$i"
-    }.mkString("\n  UNION ALL\n")
-    s"""WITH tk0 AS (SELECT list_filter(
+    s"""tk0 AS (SELECT list_filter(
        |    regexp_split_to_array(lower(text), '[^a-zA-Z0-9_]+'), x -> x <> '') AS tk
        |  FROM documents),
        |wrd AS (SELECT unnest(tk) AS word FROM tk0),
        |wf AS (SELECT word, count(*) AS freq FROM wrd GROUP BY 1),
-       |r0 AS (SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS rep, freq FROM wf),
-       |$rounds
+       |r0 AS (SELECT word, ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS rep, freq FROM wf),
+       |$rounds""".stripMargin
+  }
+
+  private def bpeOracleSql(nMerges: Int = 8): String = {
+    val sel = (1 to nMerges).map { i =>
+      s"  SELECT $i AS rank, pair, replace(pair, ' ', '') AS merged, n FROM b$i"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH ${bpeCtes(nMerges)}
        |SELECT * FROM (
        |$sel
        |) ORDER BY rank""".stripMargin
   }
+
+  /** The d28 oracle: the final round's (word → rep) vocabulary from the
+    * shared CTE chain, a per-word symbol count, the corpus-token join and
+    * the per-doc sum — zero-token docs survive via the left join-back. */
+  private def bpeEncodeOracleSql(nMerges: Int = 8): String =
+    s"""WITH ${bpeCtes(nMerges)},
+       |wt AS (SELECT word, CAST(len(list_filter(string_split(rep, ' '), x -> x <> '')) AS BIGINT) AS w_tokens
+       |  FROM r$nMerges),
+       |dtk AS (SELECT doc_id, unnest(list_filter(
+       |    regexp_split_to_array(lower(text), '[^a-zA-Z0-9_]+'), x -> x <> '')) AS word
+       |  FROM documents),
+       |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(w.w_tokens) AS BIGINT) AS n_tokens
+       |  FROM dtk d JOIN wt w USING (word) GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(a.n_words, CAST(0 AS BIGINT)) AS n_words,
+       |  COALESCE(a.n_tokens, CAST(0 AS BIGINT)) AS n_tokens
+       |FROM documents d LEFT JOIN ag a USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** The e3 LSH hyperplanes as DuckDB VALUES rows — the SAME splitmix64
     * components `EmbedOps.lshTopK` bakes into its projection, printed with
@@ -1981,6 +2008,8 @@ object SparkEntry {
         |ORDER BY n DESC, bigram ASC LIMIT 50""".stripMargin,
     // d27: the merge loop unrolled to 8 SQL rounds — see bpeOracleSql
     "d27_bpe_merges" -> bpeOracleSql(8),
+    // d28: d27's CTE chain + the encode tail — see bpeEncodeOracleSql
+    "d28_bpe_encode" -> bpeEncodeOracleSql(8),
     // o15: o3's injection/tagging/pair CTEs verbatim, plus the marginal
     // counts and the conversation total folded into the exact lift ratio
     // (BIGINT products < 2^53, one double division)

@@ -1063,15 +1063,28 @@ object DocOps {
     bpeMergesOf(docs(spark, dir), nMerges)
 
   private[graft] def bpeMergesOf(df: DataFrame, nMerges: Int): DataFrame = {
+    val (merges, rep) = bpeLoop(df, nMerges)
+    rep.unpersist()
+    import df.sparkSession.implicits._
+    merges.toDF("rank", "pair", "merged", "n").orderBy("rank")
+  }
+
+  /** The shared d27/d28 induction loop: runs the greedy merge rounds and
+    * returns both the merge list (driver model state, ≤ nMerges rows) and
+    * the FINAL per-word representation frame (word, rep, freq) — the
+    * encoded vocabulary — still persisted; the caller either consumes it
+    * (d28) or unpersists it (d27). */
+  private def bpeLoop(df: DataFrame, nMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     require(nMerges >= 1 && nMerges <= 64,
       s"bpeMerges needs 1 <= nMerges <= 64, got $nMerges")
-    val spark = df.sparkSession
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val words = df.withColumn("toks", toks)
       .select(explode(col("toks")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
     var rep = words
-      .select(concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("rep"),
+      .select(col("word"),
+        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("rep"),
         col("freq"))
       .persist(disk)
     rep.count()
@@ -1095,16 +1108,50 @@ object DocOps {
         val pat = lit(s" $pair ")
         val rpl = lit(" " + pair.replace(" ", "") + " ")
         def apply1(c: Column) = call_function("replace", c, pat, rpl)
-        val next = rep.select(apply1(apply1(col("rep"))).as("rep"), col("freq"))
+        val next = rep.select(col("word"), apply1(apply1(col("rep"))).as("rep"),
+            col("freq"))
           .persist(disk)
         next.count()
         rep.unpersist()
         rep = next
       }
     }
-    rep.unpersist()
-    import spark.implicits._
-    merges.toSeq.toDF("rank", "pair", "merged", "n").orderBy("rank")
+    (merges.toSeq, rep)
+  }
+
+  /** d28 — BPE ENCODE: apply the d27-induced merge table to the corpus and
+    * report per-document BPE token counts (doc_id, n_words, n_tokens) —
+    * the token-budget accounting a training pipeline runs with the
+    * tokenizer it just induced (sequence packing, mixture budgets and
+    * per-doc cost all consume this number, not the whitespace count).
+    *
+    * Scale shape: the induction loop works on the distinct-word frame
+    * (vocab-sized rounds, see [[bpeMerges]]); ENCODING never re-runs the
+    * merges per token — the final per-word representation IS the encoded
+    * vocabulary, so applying it is one (corpus-tokens ⋈ vocab) equi-join
+    * on word plus a per-doc sum. The vocab side is usually broadcastable;
+    * hot words ("the") are hot JOIN keys, which hash joins stream without
+    * skew blowup — there is no groupBy on word at corpus grain. Docs with
+    * zero tokens survive via the left join-back (0, 0). The final rep
+    * frame stays persisted for the consuming action (Verify/Bench clear
+    * caches per query). */
+  def bpeEncode(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame =
+    bpeEncodeOf(docs(spark, dir), nMerges)
+
+  private[graft] def bpeEncodeOf(df: DataFrame, nMerges: Int): DataFrame = {
+    val (_, rep) = bpeLoop(df, nMerges)
+    val wordTokens = rep.select(col("word"),
+      size(expr("filter(split(rep, ' '), x -> x != '')")).cast("long").as("w_tokens"))
+    val docWords = df.withColumn("toks", toks)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+    val agg = docWords.join(wordTokens, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_words"), sum("w_tokens").as("n_tokens"))
+    df.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .orderBy("doc_id")
   }
 
   /** d26 — cluster-aware train/eval split: the holdout assignment is keyed

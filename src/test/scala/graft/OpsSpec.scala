@@ -769,6 +769,52 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](DocOps.bpeMergesOf(df, 0))
   }
 
+  test("BPE encode: per-doc token counts match an independent JDK implementation") {
+    import spark.implicits._
+    // Independent of the Spark op AND of the merge-loop test above: runs
+    // the same documented induction over a word→rep map, then encodes each
+    // doc as the sum of its words' final symbol counts.
+    def jdkEncode(texts: Seq[String], k: Int): Map[Long, (Long, Long)] = {
+      def tokenize(t: String) = t.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+      val freq = texts.flatMap(tokenize).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      var reps: Map[String, String] =
+        freq.map { case (w, _) => w -> (" " + w.mkString(" ") + " ") }
+      var done = false
+      for (_ <- 1 to k if !done) {
+        val counts = scala.collection.mutable.Map.empty[String, Long]
+        reps.foreach { case (w, rep) =>
+          val tk = rep.split(" ").filter(_.nonEmpty)
+          (0 until tk.length - 1).foreach { j =>
+            val p = tk(j) + " " + tk(j + 1)
+            counts(p) = counts.getOrElse(p, 0L) + freq(w)
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val (pair, _) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+          val pat = " " + pair + " "
+          val rpl = " " + pair.replace(" ", "") + " "
+          reps = reps.map { case (w, rep) => w -> rep.replace(pat, rpl).replace(pat, rpl) }
+        }
+      }
+      val wTok = reps.map { case (w, rep) => w -> rep.split(" ").count(_.nonEmpty).toLong }
+      texts.zipWithIndex.map { case (t, i) =>
+        val tk = tokenize(t)
+        i.toLong -> ((tk.size.toLong, tk.map(wTok).sum))
+      }.toMap
+    }
+    // includes a zero-token doc: it must survive the join-back as (0, 0)
+    val texts = Seq("banana banana bandana", "aaaa abab abab cable banana",
+      "banana cable table bable an na", "!!!")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    try {
+      val got = DocOps.bpeEncodeOf(df, 6).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got === jdkEncode(texts, 6))
+      assert(got(3L) === ((0L, 0L)))
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
+
   test("co-occurrence lift: exact independence ratio on a hand-built frame") {
     import spark.implicits._
     val dict = graft.dict.EnvoDict.load()
