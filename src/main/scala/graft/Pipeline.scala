@@ -230,9 +230,25 @@ final class KgPipeline(spark: SparkSession, cfg: PipelineConfig = PipelineConfig
       else strategy match {
         case "partcache" =>
           materializeEnvoRows = true
+          // sortWithinPartitions(conv_id, turn_idx) after the shuffle: a
+          // production corpus arrives in ARBITRARY row order (only the
+          // synthetic generator happens to write conversations
+          // contiguously), and the shuffle read concatenates map outputs —
+          // so without the sort every downstream conv-keyed hash agg
+          // probes its multi-million-entry map in random key order (every
+          // probe a cache miss). Measured at the 16x corpus, 8 cores, on a
+          // shuffle-ordered input: the fused-scorer stage drops ~40% CPU
+          // (592 -> ~410 CPU-s) for a one-off in-partition sort at cache
+          // build; on an already-clustered input the sort is near-free.
+          // SortExec preserves the HashPartitioning(conv_id) the consumers
+          // plan against, and the sorted cache also satisfies the window's
+          // required child ordering (conv_id prefix), eliding that sort.
           share(envoRows0
             .repartition(spark.sessionState.conf.numShufflePartitions,
               org.apache.spark.sql.functions.col("conv_id"))
+            .sortWithinPartitions(
+              org.apache.spark.sql.functions.col("conv_id"),
+              org.apache.spark.sql.functions.col("turn_idx"))
             .persist(disk))
         case "cache" =>
           share(envoRows0.persist(disk))

@@ -135,8 +135,10 @@ object StreamingMentions {
                     dedupe: Boolean = false,
                     minQuality: Double = 0.0,
                     lateness: String = "10 minutes",
-                    checkpointDir: Option[String] = None)
+                    checkpointDir: Option[String] = None,
+                    compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
     val cols = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts")
     val gated0 =
       if (dedupe) dedupStream(turns.toDF(), lateness).select(cols.map(col): _*)
@@ -149,7 +151,15 @@ object StreamingMentions {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          graft.stages.IncrementalKg.append(spark, indexDir, batch, cfg, dictOverride)
+          val st = graft.stages.IncrementalKg.append(spark, indexDir, batch, cfg, dictOverride)
+          // bound the store's read amplification under a long-lived
+          // stream: every compactEvery committed appends, fold the batch
+          // dirs into one snapshot (commit-last, so a crash mid-compaction
+          // never disturbs readers — see IncrementalKg.compact). Runs
+          // inside foreachBatch between micro-batches, where no reader of
+          // THIS query races the manifest swap.
+          if (compactEvery > 0 && st.batch > 0 && st.batch % compactEvery == 0)
+            graft.stages.IncrementalKg.compact(spark, indexDir)
           ()
         }
       }

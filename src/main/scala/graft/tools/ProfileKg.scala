@@ -70,6 +70,14 @@ object ProfileKg {
         gcMs: java.util.concurrent.atomic.AtomicLong,
         cpuNs: java.util.concurrent.atomic.AtomicLong)
       val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobAcc]()
+      // per-STAGE attribution alongside the job rollup: stage boundaries
+      // localize which exchange/agg/join carries an anomaly, and the max
+      // task duration separates a straggler from distributed extra work
+      final case class StageAcc(name: String, var nTasks: Int,
+        taskMs: java.util.concurrent.atomic.AtomicLong,
+        cpuNs: java.util.concurrent.atomic.AtomicLong,
+        maxTaskMs: java.util.concurrent.atomic.AtomicLong)
+      val stages = new java.util.concurrent.ConcurrentHashMap[Int, StageAcc]()
       val listener = new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
           jobs.put(js.jobId, JobAcc(js.time, 0L,
@@ -79,6 +87,12 @@ object ProfileKg {
         override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
           val v = jobs.get(je.jobId); if (v != null) v.end = je.time
         }
+        override def onStageSubmitted(ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+          stages.put(ss.stageInfo.stageId, StageAcc(
+            ss.stageInfo.name.takeWhile(_ != '\n').take(60), ss.stageInfo.numTasks,
+            new java.util.concurrent.atomic.AtomicLong(),
+            new java.util.concurrent.atomic.AtomicLong(),
+            new java.util.concurrent.atomic.AtomicLong()))
         override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           // attribute task time to the newest unfinished job (local mode:
           // jobs from one action run serially, so this is exact enough)
@@ -92,6 +106,12 @@ object ProfileKg {
               acc.gcMs.addAndGet(te.taskMetrics.jvmGCTime)
               acc.cpuNs.addAndGet(te.taskMetrics.executorCpuTime)
             }
+          }
+          val sa = stages.get(te.stageId)
+          if (sa != null && te.taskInfo != null) {
+            sa.taskMs.addAndGet(te.taskInfo.duration)
+            sa.maxTaskMs.getAndUpdate(m => math.max(m, te.taskInfo.duration))
+            if (te.taskMetrics != null) sa.cpuNs.addAndGet(te.taskMetrics.executorCpuTime)
           }
         }
       }
@@ -128,6 +148,12 @@ object ProfileKg {
         println(f"JOB $id%3d  +${(s - base) / 1e3}%7.2f s  wall=$w%6.2f s  gapBefore=$gap%6.2f s  " +
           f"taskSum=${acc.taskMs.get() / 1e3}%7.2f s  cpuSum=${acc.cpuNs.get() / 1e9}%7.2f s  " +
           f"gcSum=${acc.gcMs.get() / 1e3}%6.2f s  util=$util%5.2f")
+      }
+      import scala.jdk.CollectionConverters._
+      stages.asScala.toSeq.sortBy(_._1).foreach { case (id, sa) =>
+        if (sa.taskMs.get() > 1000L)
+          println(f"STG $id%4d tasks=${sa.nTasks}%4d taskSum=${sa.taskMs.get() / 1e3}%8.2f s  " +
+            f"cpuSum=${sa.cpuNs.get() / 1e9}%8.2f s  maxTask=${sa.maxTaskMs.get() / 1e3}%7.2f s  ${sa.name}")
       }
       spark.stop()
       return

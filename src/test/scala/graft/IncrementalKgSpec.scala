@@ -130,4 +130,36 @@ class IncrementalKgSpec extends SparkSpec {
     assert(rows(IncrementalKg.triples(spark, dir)) === expected,
       "streamed appends must reproduce the whole-corpus run exactly")
   }
+
+  test("streamed ingest with auto-compaction keeps reads exact and folds batch dirs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val convs = (100L until 130L).map(i => TranscriptGen.turnsFor(i, 13L, 6, 10))
+    val all = convs.flatten.toDS.toDF
+    val dir = Files.createTempDirectory("graft-inc-stream-compact").toString
+    val cfg = PipelineConfig(persistIntermediates = true)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[graft.model.Turn]
+    val q = graft.streaming.StreamingMentions.ingestToStore(
+      spark, input.toDS(), dir, cfg, compactEvery = 2)
+    try {
+      input.addData(convs.slice(0, 10).flatten)
+      q.processAllAvailable()
+      input.addData(convs.slice(10, 20).flatten)
+      q.processAllAvailable() // batch 2 -> compaction fires here
+      input.addData(convs.slice(20, 30).flatten)
+      q.processAllAvailable()
+    } finally q.stop()
+    // compaction at batch 2 folded dirs 1-2 into snapshot=2; batch 3 landed after
+    assert(Files.exists(java.nio.file.Paths.get(dir, "triples", "snapshot=2")),
+      "auto-compaction must have committed snapshot=2")
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "triples", "batch=1")),
+      "folded batch dirs must be cleaned up")
+    assert(Files.exists(java.nio.file.Paths.get(dir, "triples", "batch=3")),
+      "post-compaction appends land as new batch dirs")
+    val full = new KgPipeline(spark, cfg).run(all)
+    val expected = rows(full.allTriples)
+    full.unpersist()
+    assert(rows(IncrementalKg.triples(spark, dir)) === expected,
+      "auto-compacted streamed appends must reproduce the whole-corpus run exactly")
+  }
 }
