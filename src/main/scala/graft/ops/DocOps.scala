@@ -351,16 +351,20 @@ object DocOps {
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 12): DataFrame = {
     val hashed = docs(spark, dir)
       .withColumn("tok", explode(toks))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
       .withColumn("h",
         expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
-    // sum ±w per bit, then sign -> bit: ONE groupBy(doc_id) carrying 60
-    // conditional sums (map-side partial combine, no row blowup), then a
-    // sign/shift projection. The old shape exploded sequence(0,59) into 60
-    // rows per (doc, token) and shuffled them through groupBy(doc_id, bit)
-    // — a 60x constant factor on shuffle volume for the same result.
+    // sum ±1 per OCCURRENCE per bit, then sign -> bit: ONE groupBy(doc_id)
+    // carrying 60 conditional sums (map-side partial combine collapses each
+    // doc to a single row before the only exchange — each doc lives in one
+    // input row, so the exchange moves |docs| rows of 60 longs, nothing
+    // more). Summing ±1 per occurrence equals the former ±w per distinct
+    // (doc, token) — which paid a FULL extra exchange of the distinct
+    // (doc_id, tok) pairs for its pre-count (r7: that exchange dominated;
+    // the md5-per-occurrence it saved is map-side and cheaper). The r5
+    // shape before that exploded sequence(0,59) into 60 rows per token —
+    // a 60x constant factor on shuffle volume for the same result.
     val bitSums = (0 until 60).map { b =>
-      sum(when(expr(s"(h >> $b) & 1") === 1, col("w")).otherwise(-col("w"))).as(s"s$b")
+      sum(when(expr(s"(h >> $b) & 1") === 1, lit(1L)).otherwise(lit(-1L))).as(s"s$b")
     }
     val bits = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
@@ -1062,11 +1066,127 @@ object DocOps {
   def bpeMerges(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame =
     bpeMergesOf(docs(spark, dir), nMerges)
 
-  private[graft] def bpeMergesOf(df: DataFrame, nMerges: Int): DataFrame = {
-    val (merges, rep) = bpeLoop(df, nMerges)
-    rep.unpersist()
+  /** Vocab-size cap for the DRIVER-LOCAL BPE loop: the distinct-word frame
+    * is bounded (vocab ≪ corpus), so when it fits under the cap the merge
+    * rounds run as an exact in-memory loop over the collected (word, freq)
+    * rows — ONE distributed corpus scan (the word-count agg) instead of a
+    * Spark job per merge round. 2M words ≈ tens of MB of driver state; a
+    * corpus whose vocabulary exceeds the cap falls back LOUDLY to the
+    * distributed per-round loop (which is capped at 64 merges). */
+  private[graft] val bpeLocalVocabCap: Long =
+    sys.env.getOrElse("SPARK_GRAFT_BPE_LOCAL_VOCAB_CAP", "2000000").toLong
+
+  private[graft] def bpeMergesOf(df: DataFrame, nMerges: Int,
+                                 localVocabCap: Long = bpeLocalVocabCap): DataFrame = {
+    require(nMerges >= 1, s"bpeMerges needs nMerges >= 1, got $nMerges")
     import df.sparkSession.implicits._
+    val merges = localWordFreqs(df, localVocabCap) match {
+      case Some(words) => bpeLoopLocal(words, nMerges)._1
+      case None =>
+        val (ms, rep) = bpeLoop(df, nMerges)
+        rep.unpersist()
+        ms
+    }
     merges.toDF("rank", "pair", "merged", "n").orderBy("rank")
+  }
+
+  /** The distributed word-count agg collected as driver model state when it
+    * fits under the cap (None past it — the caller uses the distributed
+    * loop). One corpus scan; the agg output is persisted so the guard count
+    * and the collect share one computation. */
+  private def localWordFreqs(df: DataFrame, cap: Long): Option[Array[(String, Long)]] = {
+    val words = df.withColumn("toks", toks)
+      .select(explode(col("toks")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = words.count()
+      if (n <= cap)
+        Some(words.collect().map(r => (r.getString(0), r.getLong(1))))
+      else {
+        System.err.println(
+          s"[graft] BPE vocabulary $n words exceeds the local cap $cap — " +
+            "falling back to the distributed merge loop")
+        None
+      }
+    } finally words.unpersist()
+  }
+
+  /** Spark's string ORDER BY is a bytewise comparison of the UTF-8 encoding
+    * — the local argmax tiebreak must match it exactly (identical to
+    * String.compareTo on ASCII; differs only past the BMP). */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The DRIVER-LOCAL twin of [[bpeLoop]] — the identical greedy spec
+    * (overlapping adjacent pair counts over the distinct-word frame, argmax
+    * by count DESC then bytewise pair ASC, two-pass non-overlapping literal
+    * replace as the merge-apply; Java String.replace == both engines'
+    * replace) run in memory. OpsSpec pins equality with the distributed
+    * loop and with the independent JDK spec. Returns the merge table and
+    * the final per-word (word, rep, freq) encoded vocabulary. */
+  private[graft] def bpeLoopLocal(words: Array[(String, Long)], nMerges: Int)
+      : (Seq[(Int, String, String, Long)], Array[(String, String, Long)]) = {
+    require(nMerges >= 1, s"bpeMerges needs nMerges >= 1, got $nMerges")
+    val n = words.length
+    val reps = new Array[String](n)
+    var wi = 0
+    // " a b c " — concat(' ', regexp_replace(word, '(.)', '$1 ')), literally
+    while (wi < n) { reps(wi) = " " + words(wi)._1.replaceAll("(.)", "$1 "); wi += 1 }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    var round = 1
+    while (round <= nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      wi = 0
+      while (wi < n) {
+        val tk = reps(wi).split(" ")
+        val f = words(wi)._2
+        // split(" ") on " a b " yields ["", "a", "b"]: skip empties exactly
+        // like the distributed filter(split(rep, ' '), x -> x != '')
+        var prev: String = null
+        var j = 0
+        while (j < tk.length) {
+          val t = tk(j)
+          if (t.nonEmpty) {
+            if (prev != null) {
+              val p = prev + " " + t
+              counts.update(p, counts.getOrElse(p, 0L) + f)
+            }
+            prev = t
+          }
+          j += 1
+        }
+        wi += 1
+      }
+      if (counts.isEmpty) exhausted = true // corpus fully merged before nMerges
+      else {
+        var bestPair: String = null
+        var bestN = 0L
+        counts.foreach { case (p, c) =>
+          if (bestPair == null || c > bestN || (c == bestN && utf8Less(p, bestPair)))
+            { bestPair = p; bestN = c }
+        }
+        merges += ((round, bestPair, bestPair.replace(" ", ""), bestN))
+        val pat = " " + bestPair + " "
+        val rpl = " " + bestPair.replace(" ", "") + " "
+        wi = 0
+        while (wi < n) { reps(wi) = reps(wi).replace(pat, rpl).replace(pat, rpl); wi += 1 }
+        round += 1
+      }
+    }
+    (merges.toSeq,
+      Array.tabulate(n)(i => (words(i)._1, reps(i), words(i)._2)))
   }
 
   /** The shared d27/d28 induction loop: runs the greedy merge rounds and
@@ -1138,10 +1258,25 @@ object DocOps {
   def bpeEncode(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame =
     bpeEncodeOf(docs(spark, dir), nMerges)
 
-  private[graft] def bpeEncodeOf(df: DataFrame, nMerges: Int): DataFrame = {
-    val (_, rep) = bpeLoop(df, nMerges)
-    val wordTokens = rep.select(col("word"),
-      size(expr("filter(split(rep, ' '), x -> x != '')")).cast("long").as("w_tokens"))
+  private[graft] def bpeEncodeOf(df: DataFrame, nMerges: Int,
+                                 localVocabCap: Long = bpeLocalVocabCap): DataFrame = {
+    require(nMerges >= 1, s"bpeEncode needs nMerges >= 1, got $nMerges")
+    import df.sparkSession.implicits._
+    // the encoded vocabulary: induced locally when the distinct-word frame
+    // fits (one corpus scan + broadcast-sized model state), distributed
+    // per-round loop past the cap. Either way the encode itself is ONE
+    // (corpus-tokens ⋈ vocab) equi-join + per-doc sum.
+    val wordTokens = localWordFreqs(df, localVocabCap) match {
+      case Some(words) =>
+        val (_, finalReps) = bpeLoopLocal(words, nMerges)
+        broadcast(finalReps.toSeq
+          .map { case (w, rep, _) => (w, rep.split(" ").count(_.nonEmpty).toLong) }
+          .toDF("word", "w_tokens"))
+      case None =>
+        val (_, rep) = bpeLoop(df, nMerges)
+        rep.select(col("word"),
+          size(expr("filter(split(rep, ' '), x -> x != '')")).cast("long").as("w_tokens"))
+    }
     val docWords = df.withColumn("toks", toks)
       .select(col("doc_id"), explode(col("toks")).as("word"))
     val agg = docWords.join(wordTokens, Seq("word"))

@@ -59,8 +59,11 @@ object MultimodalOps {
         md.update(kindBytes); md.update(colon)
         md.update(bytes); md.update(colon)
         md.update(String.valueOf(d).getBytes("UTF-8"))
-        val hex = md.digest().take(8).map(b => f"${b & 0xff}%02x").mkString
-        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        // top 60 bits of the digest without the hex round-trip: first 8
+        // bytes big-endian, logically shifted — bit-identical to
+        // parseLong(hexPrefix15, 16) (the simhash60 trick; the old per-byte
+        // f"%02x" formatting dominated the decode profile)
+        val h = java.nio.ByteBuffer.wrap(md.digest(), 0, 8).getLong >>> 4
         ((h % 31) - 15).toFloat
       }
     }

@@ -92,9 +92,17 @@ object IncrementalKg {
   private def writeManifest(dir: String, batch: Int, key: String,
                             compacted: Int): Unit = {
     Files.createDirectories(Paths.get(dir))
-    Files.write(manifestPath(dir),
+    // write-then-atomic-rename: a crash mid-write must leave the OLD
+    // manifest intact (the advertised readers-stay-at-N-1 contract), never
+    // a truncated file readManifest would throw on (r7 fix). Same-directory
+    // temp file so the move stays within one filesystem.
+    val tmp = Paths.get(dir, s".index.manifest.json.tmp")
+    Files.write(tmp,
       s"""{"batch":$batch,"configKey":"$key","compacted":$compacted}"""
         .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(dir),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** The live parquet dirs of a family: the snapshot (when one is

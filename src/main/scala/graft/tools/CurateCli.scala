@@ -96,11 +96,15 @@ object CurateCli {
       all.join(DocOps.priorityDedupOf(corpus).filter(col("kept") === 1L)
         .select("doc_id"), Seq("doc_id"), "left_semi"))
 
-    // d1: one survivor per exact content hash (a no-op on d24 survivors
-    // only when every class was cross-source; kept as the belt-and-braces
-    // content gate and for the funnel telemetry)
+    // d1: one survivor per exact content hash, computed OVER THE d24
+    // SURVIVORS (belt-and-braces content gate + funnel telemetry). Over the
+    // full corpus this silently emptied whole content classes: d1's
+    // keep-min-doc_id and d24's keep-best-rank pick different copies
+    // whenever the best-ranked copy is not the min-id copy, and the
+    // semi-join then kept neither (r7 fix, per-class advice finding).
     val exact = stage("exact_dedup",
-      prioritized.join(DocOps.exactDedupOf(corpus)
+      prioritized.join(DocOps.exactDedupOf(
+          corpus.join(prioritized, Seq("doc_id"), "left_semi"))
         .select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi"))
 
     // d7 → d9: drop every near-dup cluster member except its representative.

@@ -70,6 +70,26 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("exact stage keeps the d24 survivor when best rank != min doc_id") {
+    import spark.implicits._
+    // a cross-source duplicate class whose best-ranked copy (src2, doc 101)
+    // is NOT the min-doc_id copy (doc 100): the pre-r7 funnel intersected
+    // d24's keep with a FULL-corpus d1 keep-min and silently dropped every
+    // copy of such a class — the exact stage must run over the survivors
+    val tmp = java.nio.file.Files.createTempDirectory("graft-curate-dup").toString
+    Seq(
+      (100L, "the dup payload content words here", "en", "src9"),
+      (101L, "the dup payload content words here", "en", "src2"),
+      (102L, "a perfectly unique other document text", "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft-curate-dup-out").toString
+    val f = CurateCli.run(spark, tmp, out).toMap
+    assert(f("priority_dedup") === 2, "d24 keeps the src2 copy + the unique doc")
+    assert(f("exact_dedup") === 2,
+      "exact stage must keep the d24 survivor of the duplicate class")
+  }
+
   test("gate signals: one corpus scan serves all three projection gates") {
     import org.apache.spark.sql.functions._
     import graft.ops.DocOps

@@ -769,6 +769,30 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](DocOps.bpeMergesOf(df, 0))
   }
 
+  test("BPE driver-local loop == distributed loop (merges and encode)") {
+    import spark.implicits._
+    // same planted edge-case corpus as the JDK-spec test; localVocabCap = 0
+    // forces the distributed per-round loop, the default cap takes the
+    // r7 driver-local path — both must produce identical merge tables and
+    // identical per-doc encodes
+    val texts = Seq("banana banana bandana", "aaaa abab abab cable banana",
+      "banana cable table bable an na", "!!!")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    try {
+      val localM = DocOps.bpeMergesOf(df, 6).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val distM = DocOps.bpeMergesOf(df, 6, localVocabCap = 0L).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(localM === distM)
+      assert(localM.length === 6)
+      val localE = DocOps.bpeEncodeOf(df, 6).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      val distE = DocOps.bpeEncodeOf(df, 6, localVocabCap = 0L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      assert(localE === distE)
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
+
   test("BPE encode: per-doc token counts match an independent JDK implementation") {
     import spark.implicits._
     // Independent of the Spark op AND of the merge-loop test above: runs
