@@ -201,37 +201,57 @@ object DocOps {
     * the production scale path would swap in xxhash64 (same plan, one line). */
   def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = 0.18,
                       dfCap: Int = 50): DataFrame =
-    minhashLshPairsOf(shinglesOf(curationFrame(spark, dir)), threshold, dfCap)
+    minhashLshPairsOf(curationFrame(spark, dir), threshold, dfCap)
 
-  /** d7 over any (doc_id, toks)-derived shingle frame — the funnel feeds
-    * shingles of the shared (persisted) curation frame, so its tokenization
-    * is the cached one instead of a fresh corpus scan. */
-  private[graft] def minhashLshPairsOf(grams0: DataFrame, threshold: Double = 0.18,
+  /** d7 over any frame carrying (doc_id, toks) — the funnel feeds the
+    * shared (persisted) curation frame, so its tokenization is the cached
+    * one instead of a fresh corpus scan. */
+  private[graft] def minhashLshPairsOf(toksDf: DataFrame, threshold: Double = 0.18,
                                        dfCap: Int = 50): DataFrame = {
     val k = 12
     val rowsPerBand = 3
-    val grams = cappedShinglesOf(grams0, dfCap, persist = false)
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val grams0 = shinglesOf(toksDf)
+    // stop set persisted: TWO anti-join consumers now (the band side and
+    // the candidate-restricted verify side); tiny by Zipf construction
+    val stop = grams0.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("g")
+      .persist()
+    val nStop = stop.count()
+    if (nStop > 0)
+      System.err.println(
+        s"[graft] shingle df cap $dfCap dropped $nStop boilerplate stop-shingles")
+    // grams deliberately NOT persisted: the widest branch (12 minhashes per
+    // shingle) runs ~40% faster as straight-line codegen over the scan than
+    // through an InMemoryRelation's columnar->row boundary (measured r4)
+    val grams = grams0.join(broadcast(stop), Seq("g"), "left_anti")
+      .select("doc_id", "g")
     val bands = kmMinhashBands(grams, k, rowsPerBand)
       // persisted: the band self-join below consumes bands TWICE — without
       // this the whole tokenize→md5→minhash pipeline executes once per
       // side (measured 2x the md5 work at sf0.1). Tiny: 4 rows per doc.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(disk)
     // persisted: candidates feed BOTH the candidate-doc restriction and the
     // final verification join
     val candidates = bands.toDF("doc_a", "bkey")
       .join(bands.toDF("doc_b", "bkey"), Seq("bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(disk)
     // verify candidates with true Jaccard — computed ONLY over docs that
-    // appear in the candidate set: semi-join grams down first, otherwise
-    // the verification silently reintroduces the exact all-pairs shingle
-    // join the LSH bucketing exists to avoid
+    // appear in the candidate set, and restricted BEFORE tokenization: the
+    // doc_id semi-join cannot be pushed below the shingle explode by the
+    // optimizer (Generate blocks PushDownLeftSemiAntiJoin — r7, plan-
+    // verified), so semi-joining the GRAM rows re-tokenized the whole
+    // corpus a third time; restricting the doc frame first is the d18
+    // shape and tokenizes only candidate docs
     val candDocs = candidates.select(col("doc_a").as("doc_id"))
       .unionByName(candidates.select(col("doc_b").as("doc_id")))
       .distinct()
-    val candGrams = grams.join(candDocs, Seq("doc_id"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candGrams = shinglesOf(toksDf.join(candDocs, Seq("doc_id"), "left_semi"))
+      .join(broadcast(stop), Seq("g"), "left_anti")
+      .select("doc_id", "g")
+      .persist(disk)
     val sizes = candGrams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = candGrams.toDF("doc_a", "g")
       .join(candGrams.toDF("doc_b", "g"), Seq("g"))

@@ -113,7 +113,7 @@ object CurateCli {
     // persisted: the near-dup gate consumes it here and the TERMINAL d26
     // split keys its holdout by the same representatives.
     val clusters = Components
-      .dupClusters(spark, DocOps.minhashLshPairsOf(DocOps.shinglesOf(corpus)))
+      .dupClusters(spark, DocOps.minhashLshPairsOf(corpus))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     stageFrames += clusters
     val nearDupLosers = clusters

@@ -15,6 +15,11 @@ object ExplainAll {
         try println(fn(spark, dir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
         catch { case e: Throwable => println(s"explain failed: $e") }
+        // per-query cache hygiene (QueryTime/Bench protocol): an earlier
+        // query's op-internal persist otherwise rewrites later plans into
+        // InMemoryRelation reads the production (cache-cleared) run never
+        // sees — round 7 caught d6's shingle cache inside d7's "plan"
+        finally spark.sharedState.cacheManager.clearCache()
       }
     }
     spark.stop()

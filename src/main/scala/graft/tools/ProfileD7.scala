@@ -5,10 +5,10 @@ import graft.Sessions
 import graft.ops.DocOps
 
 /** Stage-by-stage timing of the d7 MinHash+LSH plan — run when d7's wall
-  * time drifts, to see which stage moved. Every stage is built by the SAME
-  * private[graft] DocOps builders the production operator composes
-  * (cappedShingles → kmMinhashBands), so the profiler cannot drift from
-  * the production plan. Usage:
+  * time drifts, to see which stage moved. Stages mirror the production
+  * operator's r7 structure (stop-agg → capped grams → KM bands → band join
+  * → candidate-restricted verify where the DOC frame is semi-joined BEFORE
+  * tokenization). Usage:
   *   sbt -batch "runMain graft.tools.ProfileD7 /root/testdata/sf0.1"
   */
 object ProfileD7 {
@@ -21,7 +21,13 @@ object ProfileD7 {
       System.err.println(f"[d7prof] $name%-28s rows=$n%-9d sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
 
-    val grams = DocOps.cappedShingles(spark, dir, dfCap = 50, persist = false)
+    val toksDf = DocOps.curationFrame(spark, dir)
+    val grams0 = DocOps.shinglesOf(toksDf)
+    val stop = grams0.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 50).select("g").persist()
+    t("stop set (tokenize+agg)") { stop.count() }
+    val grams = grams0.join(broadcast(stop), Seq("g"), "left_anti")
+      .select("doc_id", "g")
     t("grams (tokenize+dfcap)") { grams.count() }
     val bands = DocOps.kmMinhashBands(grams, 12, rowsPerBand = 3)
     t("sig+bands (1 shuffle)") { bands.count() }
@@ -35,8 +41,11 @@ object ProfileD7 {
     val candDocs = candidates.select(col("doc_a").as("doc_id"))
       .unionByName(candidates.select(col("doc_b").as("doc_id"))).distinct()
     t("candDocs") { candDocs.count() }
-    val candGrams = grams.join(candDocs, Seq("doc_id"), "left_semi").persist()
-    t("candGrams (semi, re-tok)") { candGrams.count() }
+    val candGrams = DocOps.shinglesOf(
+        toksDf.join(candDocs, Seq("doc_id"), "left_semi"))
+      .join(broadcast(stop), Seq("g"), "left_anti")
+      .select("doc_id", "g").persist()
+    t("candGrams (cand-only tok)") { candGrams.count() }
     val sizes = candGrams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = candGrams.toDF("doc_a", "g")
       .join(candGrams.toDF("doc_b", "g"), Seq("g"))

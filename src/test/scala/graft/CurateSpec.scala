@@ -135,7 +135,7 @@ class CurateSpec extends SparkSpec {
       val stagePlans = Map(
         "exact_dedup" -> DocOps.exactDedupOf(corpus),
         "priority_dedup" -> DocOps.priorityDedupOf(corpus),
-        "near_dup_pairs" -> DocOps.minhashLshPairsOf(DocOps.shinglesOf(corpus)),
+        "near_dup_pairs" -> DocOps.minhashLshPairsOf(corpus),
         "decontaminate" -> DocOps.decontaminateOf(DocOps.shinglesOf(corpus), 20, 3),
         "gate_signals" -> DocOps.gateSignalsOf(corpus),
         "classifier_gate" -> DocOps.qualityClassifyOf(corpus, 4096),
@@ -161,7 +161,7 @@ class CurateSpec extends SparkSpec {
       }
       // the shared-frame stages return the SAME rows as the standalone
       // (scan-direct, DuckDB-oracled) operators
-      assert(DocOps.minhashLshPairsOf(DocOps.shinglesOf(corpus)).collect().toSeq ===
+      assert(DocOps.minhashLshPairsOf(corpus).collect().toSeq ===
         DocOps.minhashLshPairs(spark, dir).collect().toSeq)
       assert(DocOps.chunkDocsOf(corpus, 50, 10).collect().length ===
         DocOps.chunkDocs(spark, dir).collect().length)
