@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 object DocOps {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    Scans.fanOut(spark.read.parquet(s"$dir/documents.parquet"))
 
   /** Lowercased word tokens, empties removed (portable: mirrored 1:1 by the
     * DuckDB oracle's regexp_split_to_array + list_filter). */
@@ -174,7 +174,10 @@ object DocOps {
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.22,
                         dfCap: Int = 50): DataFrame = {
     val grams = cappedShingles(spark, dir, dfCap, persist = true)
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // persisted: BOTH the n_a and n_b join branches consume sizes, and
+    // exchange reuse never fires across the differently-aliased copies
+    // (r7, plan-verified: the per-doc agg ran twice) — |docs| rows, tiny
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n")).persist()
     val inter = grams.toDF("doc_a", "g")
       .join(grams.toDF("doc_b", "g"), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
@@ -211,7 +214,7 @@ object DocOps {
     val k = 12
     val rowsPerBand = 3
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val grams0 = shinglesOf(toksDf)
+    val grams0 = shinglesOf(toksDf).persist(disk)
     // stop set persisted: TWO anti-join consumers now (the band side and
     // the candidate-restricted verify side); tiny by Zipf construction
     val stop = grams0.groupBy("g").agg(count(lit(1)).as("df"))
@@ -252,7 +255,8 @@ object DocOps {
       .join(broadcast(stop), Seq("g"), "left_anti")
       .select("doc_id", "g")
       .persist(disk)
-    val sizes = candGrams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // persisted like d6's: the n_a/n_b branches never share one exchange
+    val sizes = candGrams.groupBy("doc_id").agg(count(lit(1)).as("n")).persist()
     val inter = candGrams.toDF("doc_a", "g")
       .join(candGrams.toDF("doc_b", "g"), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
@@ -624,13 +628,17 @@ object DocOps {
                       persist: Boolean = true): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    // explode the POSITIONS, hash in the projection: the md5-per-window
+    // chain is then ordinary codegen'd expressions — inside the former
+    // transform lambda it ran through the interpreted HOF path per element
+    // (r7; same rows, same hashes). Generate pipelines into the projection
+    // within one codegen stage, so toks is never materialized per position.
     val rows0 = df.filter(size(col("toks")) >= window)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(toks) - ${window - 1}), i -> named_struct(" +
-          s"'pos', cast(i as bigint), " +
-          s"'h', cast(conv(substring(md5(concat_ws(' ', slice(toks, i, $window))), 1, 15), 16, 10) as bigint)))"))
-        .as("w"))
-      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(1, size(toks) - ${window - 1})")).as("p"))
+      .select(col("doc_id"), col("p").cast("bigint").as("pos"),
+        expr(s"cast(conv(substring(md5(concat_ws(' ', slice(toks, p, $window))), 1, 15), 16, 10) as bigint)")
+          .as("h"))
     val rows =
       if (persist) rows0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else rows0

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
 object EmbedOps {
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    Scans.fanOut(spark.read.parquet(s"$dir/embeddings.parquet"))
 
   /** dot(a, b) in double, left-to-right accumulation (shared with
     * MultimodalOps so media-cosine and embedding-cosine can never diverge).

@@ -110,7 +110,7 @@ object MultimodalOps {
     * payload-dedup and validation gates under the driver's bit-exact hash
     * check. Same schema as MediaRow, pure projection over the scan. */
   def mediaFromDocs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    Scans.fanOut(spark.read.parquet(s"$dir/documents.parquet"))
       .select(
         col("doc_id").as("media_id"),
         element_at(typedlit(Seq("image", "audio", "video")),

@@ -103,8 +103,18 @@ class CurateSpec extends SparkSpec {
       // every LEAF of the combined gate plan must be the cached signals —
       // a FileSourceScan leaf would mean a gate re-scans the corpus (the
       // cached relation's printed description still embeds the original
-      // scan text, so check node types, not the plan string)
-      val leaves = q.union(l).union(s).queryExecution.executedPlan.collectLeaves()
+      // scan text, so check node types, not the plan string).
+      // AdaptiveSparkPlanExec is itself a LeafExecNode (and since the r7
+      // scan fan-out the cached signals' lineage carries an Exchange, so
+      // the union IS AQE-wrapped) — descend it like the funnel leaf test
+      def realLeaves(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          realLeaves(a.executedPlan)
+        case leaf if leaf.children.isEmpty => Seq(leaf)
+        case n => n.children.flatMap(realLeaves)
+      }
+      val leaves = realLeaves(q.union(l).union(s).queryExecution.executedPlan)
       assert(leaves.nonEmpty && leaves.forall(
         _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
         s"all three gates must read the cached signals, not re-scan parquet: $leaves")
