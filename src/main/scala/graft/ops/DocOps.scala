@@ -15,7 +15,16 @@ import org.apache.spark.sql.functions._
 object DocOps {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    Scans.fanOut(spark.read.parquet(s"$dir/documents.parquet"))
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** The corpus scan behind ops whose scan-rooted stage does HEAVY per-row
+    * work (shingle/window/hash explosions): those get the unsplittable-
+    * input parallelism floor (Scans.fanOut). Projection-only ops keep the
+    * plain scan — measured r7: the fan-out exchange costs ~0.1-0.3s and
+    * only pays when the serial scan stage costs more (d6 2.42->1.22s,
+    * d8 1.19->1.00s, d21 1.07->0.88s wide; d12/d14/d15... 2x SLOWER wide). */
+  private def docsWide(spark: SparkSession, dir: String): DataFrame =
+    Scans.fanOut(docs(spark, dir))
 
   /** Lowercased word tokens, empties removed (portable: mirrored 1:1 by the
     * DuckDB oracle's regexp_split_to_array + list_filter). */
@@ -38,13 +47,18 @@ object DocOps {
   def curationFrame(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).withColumn("toks", toks)
 
+  /** The wide-scan twin for the shingle-exploding consumers (d6/d7/d10/
+    * d13/d17 and the funnel's persisted corpus — parallel cache build). */
+  private[graft] def curationFrameWide(spark: SparkSession, dir: String): DataFrame =
+    docsWide(spark, dir).withColumn("toks", toks)
+
   /** Distinct word-3-gram shingle rows of a frame carrying (doc_id, toks). */
   private[graft] def shinglesOf(df: DataFrame): DataFrame =
     df.filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(shingles).as("g"))
 
   private def withShingles(spark: SparkSession, dir: String): DataFrame =
-    shinglesOf(curationFrame(spark, dir))
+    shinglesOf(curationFrameWide(spark, dir))
 
   /** Shingles with a document-frequency cap: a shingle occurring in f docs
     * makes f² rows in a shingle-equality self-join, so one boilerplate
@@ -204,7 +218,7 @@ object DocOps {
     * the production scale path would swap in xxhash64 (same plan, one line). */
   def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = 0.18,
                       dfCap: Int = 50): DataFrame =
-    minhashLshPairsOf(curationFrame(spark, dir), threshold, dfCap)
+    minhashLshPairsOf(curationFrameWide(spark, dir), threshold, dfCap)
 
   /** d7 over any frame carrying (doc_id, toks) — the funnel feeds the
     * shared (persisted) curation frame, so its tokenization is the cached
@@ -360,7 +374,7 @@ object DocOps {
     * indexed corpus = the rest (deterministic, oracle-expressible split). */
   def incrementalNearDupQuery(spark: SparkSession, dir: String,
                               threshold: Double = 0.18, dfCap: Int = 50): DataFrame = {
-    val all = docs(spark, dir)
+    val all = docsWide(spark, dir)
     incrementalNearDup(all.filter(col("doc_id") % 4 =!= 0),
       all.filter(col("doc_id") % 4 === 0), None, threshold, dfCap)
   }
@@ -373,7 +387,7 @@ object DocOps {
     * the identical signature; the production scale path would swap in
     * xxhash64 (same plan shape, one line). */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 12): DataFrame = {
-    val hashed = docs(spark, dir)
+    val hashed = docsWide(spark, dir)
       .withColumn("tok", explode(toks))
       .withColumn("h",
         expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
@@ -437,7 +451,7 @@ object DocOps {
     // windows, the stop-set df agg, the final join back) — standalone runs
     // persist it so the scan+tokenize pass runs once, like the funnel's
     // cached corpus (the d6/d7 multi-branch pattern)
-    stripBoilerplateOf(curationFrame(spark, dir)
+    stripBoilerplateOf(curationFrameWide(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), dfCap)
 
   private[graft] def stripBoilerplateOf(df: DataFrame, dfCap: Int): DataFrame =
@@ -594,7 +608,7 @@ object DocOps {
     * m-series convention. Naturally planted near-dup twins of eval docs
     * also flag, which is the point of the check. */
   def decontaminationQuery(spark: SparkSession, dir: String): DataFrame = {
-    val injected = docs(spark, dir).withColumn("text",
+    val injected = docsWide(spark, dir).withColumn("text",
       when(col("doc_id") % 82 === 0 ||
         (col("doc_id") % 41 =!= 0 && col("doc_id") % 7 === 3),
         concat(col("text"), lit(" " + contaminationPhrase)))
@@ -673,7 +687,7 @@ object DocOps {
     * document repeats) and TWICE to doc_id % 23 = 0 (a doc-internal repeat
     * — occurrence-counted, so it flags even in isolation). */
   def repeatedSpansQuery(spark: SparkSession, dir: String): DataFrame = {
-    val injected = docs(spark, dir).withColumn("text",
+    val injected = docsWide(spark, dir).withColumn("text",
       when(col("doc_id") % 7 === 3, concat(col("text"), lit(" " + repeatBanner)))
         .when(col("doc_id") % 23 === 0,
           concat(col("text"), lit(" " + repeatBanner + " " + repeatBanner)))
@@ -1092,7 +1106,7 @@ object DocOps {
     * are the standard overlapping adjacent counts. OpsSpec pins the whole
     * loop against an independent JDK implementation of the same spec. */
   def bpeMerges(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame =
-    bpeMergesOf(docs(spark, dir), nMerges)
+    bpeMergesOf(docsWide(spark, dir), nMerges)
 
   /** Vocab-size cap for the DRIVER-LOCAL BPE loop: the distinct-word frame
     * is bounded (vocab ≪ corpus), so when it fits under the cap the merge
@@ -1284,7 +1298,7 @@ object DocOps {
     * frame stays persisted for the consuming action (Verify/Bench clear
     * caches per query). */
   def bpeEncode(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame =
-    bpeEncodeOf(docs(spark, dir), nMerges)
+    bpeEncodeOf(docsWide(spark, dir), nMerges)
 
   private[graft] def bpeEncodeOf(df: DataFrame, nMerges: Int,
                                  localVocabCap: Long = bpeLocalVocabCap): DataFrame = {

@@ -18,8 +18,13 @@ import org.apache.spark.sql.functions._
  */
 object EmbedOps {
 
+  // deliberately NO Scans.fanOut (r7, measured): every e-query reads this
+  // table 4-6 times (seeds, Lloyd agg, coded/bucket projection, query
+  // side, rerank side) and each read would pay the fan-out exchange — on
+  // the small vector table the added stages cost more than the serial
+  // scans they parallelize (e7 0.37->0.80s, e3 0.49->0.93s).
   private def emb(spark: SparkSession, dir: String): DataFrame =
-    Scans.fanOut(spark.read.parquet(s"$dir/embeddings.parquet"))
+    spark.read.parquet(s"$dir/embeddings.parquet")
 
   /** dot(a, b) in double, left-to-right accumulation (shared with
     * MultimodalOps so media-cosine and embedding-cosine can never diverge).

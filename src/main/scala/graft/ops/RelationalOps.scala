@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
  */
 object RelationalOps {
 
+  // deliberately NO Scans.fanOut here (r7, measured): these scans feed
+  // cheap vectorized aggs/joins — the round-robin exchange costs more than
+  // the single-task scan stage it parallelizes (a1 0.20->0.56s, j_star
+  // 0.73->1.29s). The fan-out pays only where the scan-rooted stage does
+  // heavy per-row work (tokenize/hash/decode: DocOps/EmbedOps/Multimodal).
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

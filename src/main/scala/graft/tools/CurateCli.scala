@@ -73,7 +73,7 @@ object CurateCli {
           cfg: CurateConfig = CurateConfig()): Seq[(String, Long)] = {
     // THE one corpus read: every stage below derives from this persisted
     // tokenized frame — nothing else touches documents.parquet
-    val corpus = DocOps.curationFrame(spark, dir)
+    val corpus = DocOps.curationFrameWide(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val funnel = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     // stage frames are persisted (each feeds the next stage's semi-join AND
