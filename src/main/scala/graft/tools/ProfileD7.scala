@@ -21,8 +21,9 @@ object ProfileD7 {
       System.err.println(f"[d7prof] $name%-28s rows=$n%-9d sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
 
-    val toksDf = DocOps.curationFrame(spark, dir)
+    val toksDf = DocOps.curationFrameWide(spark, dir)
     val grams0 = DocOps.shinglesOf(toksDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stop = grams0.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > 50).select("g").persist()
     t("stop set (tokenize+agg)") { stop.count() }
