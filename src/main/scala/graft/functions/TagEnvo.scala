@@ -122,7 +122,8 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("tag_envo", c)
   }
 
-  /** Register `tag_envo` + `vec_dot` for SQL use on an existing session. */
+  /** Register `tag_envo` + `vec_dot` + the IVF cell primitives for SQL use
+    * on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "tag_envo", exprs => TagEnvoMentions(exprs.head), "built-in")
@@ -131,6 +132,16 @@ object GraftFunctions {
         require(exprs.length == 2, s"vec_dot takes 2 arguments, got ${exprs.length}")
         VecDot(exprs.head, exprs(1))
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_best_cell", exprs => {
+        require(exprs.length == 3, s"vec_best_cell takes 3 arguments, got ${exprs.length}")
+        VecBestCell(exprs(0), exprs(1), exprs(2))
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_top_cells", exprs => {
+        require(exprs.length == 4, s"vec_top_cells takes 4 arguments, got ${exprs.length}")
+        VecTopCells(exprs(0), exprs(1), exprs(2), exprs(3))
+      }, "built-in")
   }
 
   /** Column-API native dot product (see [[VecDot]]). Registration-free for
@@ -138,6 +149,14 @@ object GraftFunctions {
     * session, which must carry [[GraftExtensions]] or a prior [[register]]. */
   def vec_dot(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("vec_dot", a, b)
+
+  /** Column-API IVF cell argmax / top-p (see [[VecCells]]); cells and
+    * matrix must be literal columns (typedlit model state). */
+  def vec_best_cell(vec: Column, cells: Column, matrix: Column): Column =
+    org.apache.spark.sql.functions.call_function("vec_best_cell", vec, cells, matrix)
+
+  def vec_top_cells(vec: Column, cells: Column, matrix: Column, p: Column): Column =
+    org.apache.spark.sql.functions.call_function("vec_top_cells", vec, cells, matrix, p)
 
   /** Column-API bounded distinct-min-k aggregate (see [[BoundedMinSet]]).
     * Takes the session EXPLICITLY (like `tag_envo_with`): registering on
@@ -183,6 +202,20 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, s"vec_dot takes 2 arguments, got ${exprs.length}")
         VecDot(exprs.head, exprs(1))
+      }))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_best_cell"),
+      new ExpressionInfo(classOf[VecBestCell].getName, "vec_best_cell"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, s"vec_best_cell takes 3 arguments, got ${exprs.length}")
+        VecBestCell(exprs(0), exprs(1), exprs(2))
+      }))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_top_cells"),
+      new ExpressionInfo(classOf[VecTopCells].getName, "vec_top_cells"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4, s"vec_top_cells takes 4 arguments, got ${exprs.length}")
+        VecTopCells(exprs(0), exprs(1), exprs(2), exprs(3))
       }))
     e.injectOptimizerRule(_ => AutoDistinctTag)
   }

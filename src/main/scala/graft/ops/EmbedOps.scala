@@ -172,21 +172,19 @@ object EmbedOps {
     val e = emb(spark, dir)
     val cents = refinedCentroids(e, nlist)
 
-    // score per cell = dot(emb, cent/||cent||): same cell ORDER as cosine
-    // (the row's own norm is a positive common factor — never computed)
-    val cellScores = cellScoreArray(cents)
-
-    // nearest cell per vector: one projection, struct-max (ties → max cell)
+    // nearest cell per vector (score = dot(emb, cent/||cent||): same cell
+    // ORDER as cosine — the row's own norm is a positive common factor,
+    // never computed): one native argmax projection, no shuffle
     val assigned = e.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("nv"), norm(col("embedding")).as("nn"),
-      array_max(cellScores).getField("cell").as("cell"))
+      bestCell(col("embedding"), cents).as("cell"))
 
-    // nprobe nearest cells per query: sort the literal score array desc,
-    // slice, explode — still projection-only, no window, no shuffle
-    val probedCells = slice(reverse(array_sort(cellScores)), 1, nprobe).getField("cell")
+    // nprobe nearest cells per query — still projection-only, no window,
+    // no shuffle
     val queryCells = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        norm(col("embedding")).as("nq"), explode(probedCells).as("cell"))
+        norm(col("embedding")).as("nq"),
+        explode(topCells(col("embedding"), cents, nprobe)).as("cell"))
 
     // each query has nprobe distinct cells and each neighbor exactly one
     // cell, so candidate pairs are unique — no dedupe stage needed
@@ -208,13 +206,21 @@ object EmbedOps {
       .orderBy("query_id", "rank")
   }
 
-  /** The per-cell score array over the centroid literals — one struct per
-    * cell so array_max is the argmax (ties → max cell, mirrored by the
-    * oracles' ORDER BY s DESC, cell DESC). */
-  private def cellScoreArray(cents: Array[(Int, Array[Double])]): Column =
-    array(cents.map { case (cid, cv) =>
-      struct(litDot(col("embedding"), cv).as("s"), lit(cid).as("cell"))
-    }: _*)
+  /** The coarse-quantizer argmax / top-p over the centroid model state —
+    * ONE native codegen'd call per row (functions.VecBestCell/VecTopCells)
+    * instead of the per-cell literal-struct array the r4-r6 shape built
+    * (nlist VecDots in one projection blow past codegen limits at a
+    * production nlist — measured r7: nlist=1024 fell back to interpreted
+    * eval). Exact parity with the replaced array_max / reverse(array_sort)
+    * selections is the expressions' contract (same VecDot left-fold
+    * scores, same (s, cell) tie ordering, null scores ordered last). */
+  private def bestCell(vec: Column, cents: Array[(Int, Array[Double])]): Column =
+    graft.functions.GraftFunctions.vec_best_cell(vec,
+      typedlit(cents.map(_._1).toSeq), typedlit(cents.map(_._2.toSeq).toSeq))
+
+  private def topCells(vec: Column, cents: Array[(Int, Array[Double])], p: Int): Column =
+    graft.functions.GraftFunctions.vec_top_cells(vec,
+      typedlit(cents.map(_._1).toSeq), typedlit(cents.map(_._2.toSeq).toSeq), lit(p))
 
   /** The e4/e6 coarse quantizer: a deterministic seed sample (vec_id <
     * nlist) refined by ONE distributed Lloyd step with exact fixed-point
@@ -242,11 +248,8 @@ object EmbedOps {
       s"ivfTopK needs at least one seed vector with vec_id < nlist=$nlist")
     val dim0 = seeds.head._2.length
 
-    // one Lloyd step: argmax over the SEED literals, then nlist×dim exact
-    // fixed-point sums in a single groupBy(cell)
-    val seedScores = array(seeds.map { case (cid, cv) =>
-      struct(litDot(col("embedding"), cv).as("s"), lit(cid).as("cell"))
-    }: _*)
+    // one Lloyd step: native argmax over the seed model state, then
+    // nlist×dim exact fixed-point sums in a single groupBy(cell)
     // try_element_at: a ragged (shorter) embedding contributes NULL to the
     // missing dimensions, which sum() skips — Spark's ANSI element_at would
     // kill the whole job on one truncated row, and DuckDB list indexing
@@ -255,7 +258,7 @@ object EmbedOps {
       s"cast(round(cast(try_element_at(embedding, ${i + 1}) as double) * $LloydScale) as bigint)"
     )).as(s"s$i"))
     val cellRows = e
-      .select(col("embedding"), array_max(seedScores).getField("cell").as("cell"))
+      .select(col("embedding"), bestCell(col("embedding"), seeds).as("cell"))
       .groupBy("cell")
       .agg(count(lit(1)).as("n"), sumCols: _*)
       .collect()
@@ -292,7 +295,7 @@ object EmbedOps {
     val e = emb(spark, dir)
     val cents = refinedCentroids(e, nlist)
     val assigned = e.select(col("vec_id"),
-        array_max(cellScoreArray(cents)).getField("cell").as("cell"))
+        bestCell(col("embedding"), cents).as("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = assigned.toDF("vec_a", "cell")
       .join(assigned.toDF("vec_b", "cell"), Seq("cell"))
@@ -469,10 +472,9 @@ object EmbedOps {
                 nlist: Int = 16, nprobe: Int = 4, overfetch: Int = 4): DataFrame = {
     val e = emb(spark, dir)
     val cents = refinedCentroids(e, nlist)
-    val cellScores = cellScoreArray(cents)
     val coded = e
       .select(col("vec_id"),
-        array_max(cellScores).getField("cell").as("cell"),
+        bestCell(col("embedding"), cents).as("cell"),
         (array_max(transform(col("embedding"), x => abs(x.cast("double")))) / lit(127.0))
           .as("scale"),
         col("embedding"))
@@ -486,9 +488,9 @@ object EmbedOps {
 
     // nprobe nearest cells per query (e4's projection-only probe), joined
     // to the query's own codes — nQueries×nprobe rows, broadcast-sized
-    val probedCells = slice(reverse(array_sort(cellScores)), 1, nprobe).getField("cell")
     val qSide = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), explode(probedCells).as("cell"))
+      .select(col("vec_id").as("query_id"),
+        explode(topCells(col("embedding"), cents, nprobe)).as("cell"))
       .join(coded.select(col("vec_id").as("query_id"), col("codes").as("qc"),
         col("cn").as("qnq")), Seq("query_id"))
 
